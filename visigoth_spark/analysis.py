@@ -1,0 +1,135 @@
+"""Vectorized text analysis: tokenize -> lowercase -> stopwords -> stem.
+
+Re-expresses the reference's analysis pipeline (``analyze_compose.go:8-14``:
+tokenizer then filters in registration order; canonical order pinned by
+``index_memory_index_test.go:11-16`` and ``README.md:67-73``) as ONE fused
+function over pandas Series / Arrow batches — the per-row Go loop
+(``analyze_clean_tokenizer.go:18-27``) becomes a batch regex findall, and the
+per-token stem loop (``analyze_stem_filter.go:9-15``) becomes a
+distinct-vocabulary dict build per batch.
+
+Tokenizer parity: the reference keeps maximal runs of runes where
+``unicode.IsNumber(r) || unicode.IsLetter(r)`` (``analyze_clean_tokenizer.go:
+37-43``) — i.e. splits on anything that is not a Unicode letter/number. Here:
+``regex`` module pattern ``[\\p{L}\\p{N}]+``. Ordering note: the reference
+tokenizes then lowercases each token; we lowercase the whole text first so the
+tokenize pass is one vectorized call. The two orders agree whenever
+lowercasing does not change a character's letter/number class — true for all
+of Latin/web text including the fixture vocabulary (``León``); pinned by
+golden tests.
+
+The same analyzer MUST be used at index time and query time
+(``index_memory_index.go:45,63`` uses one pipeline for both).
+"""
+
+from __future__ import annotations
+
+import html as _html
+from dataclasses import dataclass, field
+from typing import Iterable
+
+import pandas as pd
+import regex
+
+from visigoth_spark.stemmer_es import stem_vocab
+from visigoth_spark.stopwords_es import SPANISH_STOPWORDS
+
+_TOKEN_RE = regex.compile(r"[\p{L}\p{N}]+")
+
+
+@dataclass(frozen=True)
+class AnalyzerConfig:
+    """Pluggable analysis config (≙ the reference's pipeline registration,
+    ``analyze_compose.go:16-21`` / ``analyze_clean_tokenizer.go:29-35``)."""
+
+    keep_pattern: str = r"[\p{L}\p{N}]+"
+    lowercase: bool = True
+    stopwords: frozenset[str] = field(default=SPANISH_STOPWORDS)
+    stem: bool = True
+
+    @property
+    def token_re(self) -> "regex.Pattern":
+        return regex.compile(self.keep_pattern)
+
+
+DEFAULT_ANALYZER = AnalyzerConfig()
+
+# Analyzer used for the driver-testdata harness: no stemming (so the DuckDB
+# oracle can reproduce it in pure SQL) and a tiny English stopword set
+# matching the testdata vocabulary.
+SQL_SAFE_ANALYZER = AnalyzerConfig(
+    stopwords=frozenset({"the", "a"}), stem=False
+)
+
+
+def analyze_series(texts: pd.Series, cfg: AnalyzerConfig = DEFAULT_ANALYZER) -> pd.Series:
+    """Analyze a batch of documents; returns a Series of list[str].
+
+    One regex pass for tokenization, one distinct-vocab dict for stemming —
+    no per-row Python UDF dispatch.
+    """
+    s = texts.fillna("")
+    if cfg.lowercase:
+        s = s.str.lower()
+    token_re = cfg.token_re
+    toks = [token_re.findall(t) for t in s.tolist()]
+    sw = cfg.stopwords
+    if cfg.stem:
+        vocab: set[str] = set()
+        for lst in toks:
+            vocab.update(lst)
+        stems = stem_vocab(vocab.difference(sw))
+        out = [[stems[t] for t in lst if t not in sw] for lst in toks]
+    else:
+        if sw:
+            out = [[t for t in lst if t not in sw] for lst in toks]
+        else:
+            out = toks
+    return pd.Series(out, index=texts.index)
+
+
+def analyze_text(text: str, cfg: AnalyzerConfig = DEFAULT_ANALYZER) -> list[str]:
+    """Driver-side single-string analysis (query strings are tiny)."""
+    return analyze_series(pd.Series([text]), cfg).iloc[0]
+
+
+# ---------------------------------------------------------------------------
+# HTML -> text extraction (corpus ingestion; input_hint invariant:
+# byte-identical extracted text per url vs the oracle extractor).
+# ---------------------------------------------------------------------------
+
+_SCRIPT_STYLE_RE = regex.compile(
+    r"(?is)<(script|style)\b[^>]*>.*?</\1\s*>"
+)
+_BLOCK_RE = regex.compile(r"(?is)<title\b[^>]*>(.*?)</title\s*>|<p\b[^>]*>(.*?)</p\s*>")
+_TAG_RE = regex.compile(r"(?s)<[^>]+>")
+
+
+def extract_text(html_bytes: bytes) -> str:
+    """Oracle text extractor: title + paragraphs, entity-unescaped, joined
+    by newlines. Deterministic; shared by the fixture generator and the
+    vectorized Spark extractor so the byte-identity invariant holds by
+    construction and is re-checked per url in tests."""
+    doc = html_bytes.decode("utf-8", errors="replace")
+    doc = _SCRIPT_STYLE_RE.sub(" ", doc)
+    parts: list[str] = []
+    for m in _BLOCK_RE.finditer(doc):
+        chunk = m.group(1) if m.group(1) is not None else m.group(2)
+        chunk = _TAG_RE.sub("", chunk)
+        parts.append(_html.unescape(chunk))
+    return "\n".join(parts)
+
+
+def extract_text_series(html_col: pd.Series) -> pd.Series:
+    return pd.Series(
+        [extract_text(b if b is not None else b"") for b in html_col.tolist()],
+        index=html_col.index,
+    )
+
+
+def build_vocab(texts: Iterable[str], cfg: AnalyzerConfig = DEFAULT_ANALYZER) -> set[str]:
+    """Distinct analyzed terms over an iterable of raw texts (test helper)."""
+    out: set[str] = set()
+    for lst in analyze_series(pd.Series(list(texts)), cfg):
+        out.update(lst)
+    return out
