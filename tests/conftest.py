@@ -10,6 +10,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 @pytest.fixture(scope="session")
 def spark():
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    os.environ["PYTHONPATH"] = (
+        repo_root + os.pathsep + os.environ.get("PYTHONPATH", "")
+    )
     from pyspark.sql import SparkSession
 
     spark = (

@@ -1,0 +1,180 @@
+"""Index catalog: named indexes + many-to-many aliases with hot-swap.
+
+Re-expresses the reference's ``IndexRepo`` (repos_repo.go:35-326) — an
+in-memory map of indexes plus alias lists guarded by RWMutexes — as a tiny
+JSON manifest in the catalog root plus per-index directories. Spark needs no
+mutexes: writes are driver-side manifest transactions (atomic rename), reads
+are immutable DataFrames. The goroutine fan-out over aliased indexes
+(repos_repo.go:196-213) becomes a plan-level union executed by task
+parallelism.
+
+Semantics ported 1:1 (tests in tests/test_catalog.py):
+- Put/ingest via alias fans out to ALL aliased indexes (repos_repo.go:228-236)
+- Search via alias unions results from all aliased indexes; unlike the
+  reference (which concatenates unordered, repos_repo.go:206-209), we re-sort
+  globally — a strict improvement required for deterministic top-k
+- Alias only attaches to existing indexes (repos_repo.go:70-102)
+- UnAlias with empty index drops the whole alias (repos_repo.go:104-136)
+- Rename rewrites alias targets in place (repos_repo.go:139-160)
+- Drop scrubs the index from every alias and removes empty aliases
+  (repos_repo.go:240-269)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from visigoth_spark.analysis import AnalyzerConfig, DEFAULT_ANALYZER
+from visigoth_spark.build import build_index
+from visigoth_spark.query import SearchIndex, _order_cols
+
+
+class Catalog:
+    """≙ NewIndexRepo (repos_repo.go:318-326)."""
+
+    def __init__(self, spark: SparkSession, root: str,
+                 analyzer: AnalyzerConfig = DEFAULT_ANALYZER):
+        self.spark = spark
+        self.root = root
+        self.analyzer = analyzer
+        os.makedirs(root, exist_ok=True)
+        self._manifest_path = os.path.join(root, "catalog.json")
+        if not os.path.exists(self._manifest_path):
+            self._save({"indexes": [], "aliases": {}})
+
+    # ---- manifest ----------------------------------------------------------
+    def _load(self) -> dict:
+        with open(self._manifest_path) as f:
+            return json.load(f)
+
+    def _save(self, m: dict) -> None:
+        tmp = self._manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f, indent=2)
+        os.replace(tmp, tmp[: -len(".tmp")])
+
+    def _index_dir(self, name: str) -> str:
+        return os.path.join(self.root, f"idx_{name}")
+
+    # ---- D7/D8/D9: listing + existence probes ------------------------------
+    def list(self) -> list[str]:
+        return sorted(self._load()["indexes"])
+
+    def list_aliases(self) -> dict[str, list[str]]:
+        return {a: sorted(v) for a, v in self._load()["aliases"].items()}
+
+    def has(self, name: str) -> bool:
+        return name in self._load()["indexes"]
+
+    def has_alias(self, alias: str) -> bool:
+        return alias in self._load()["aliases"]
+
+    # ---- resolution (repos_repo.go:283-306) --------------------------------
+    def _resolve(self, name: str) -> list[str]:
+        m = self._load()
+        if name in m["indexes"]:
+            return [name]
+        if name in m["aliases"]:
+            return list(m["aliases"][name])
+        return []
+
+    # ---- D1: ingest (lazy index creation, alias fan-out) --------------------
+    def ingest(self, name: str, corpus: DataFrame, **build_kwargs) -> list[str]:
+        """Build/rebuild the named index (or every index behind an alias)
+        from the given corpus. Lazy creation ≙ repos_repo.go:219-226."""
+        targets = self._resolve(name)
+        if not targets:
+            m = self._load()
+            m["indexes"].append(name)
+            self._save(m)
+            targets = [name]
+        for t in targets:
+            build_index(self.spark, corpus, self._index_dir(t),
+                        analyzer=self.analyzer, **build_kwargs)
+        return targets
+
+    # ---- D2: search with alias fan-out --------------------------------------
+    def search(self, name: str, query: str, engine: str = "bm25",
+               k: int | None = 10) -> DataFrame:
+        targets = self._resolve(name)
+        if not targets:
+            raise KeyError(f"index {name!r} does not exist")  # repos_repo.go:182
+        frames = [
+            SearchIndex(self.spark, self._index_dir(t), self.analyzer)
+            .search(query, engine, k)
+            for t in targets
+        ]
+        out = frames[0]
+        for f2 in frames[1:]:
+            out = out.unionByName(f2)
+        if len(frames) > 1:
+            out = out.orderBy(*_order_cols(engine))
+            if k is not None and engine not in ("linear", "noop_all"):
+                out = out.limit(k)
+        return out
+
+    # ---- D3/D4: aliases ------------------------------------------------------
+    def alias(self, alias: str, index: str) -> bool:
+        m = self._load()
+        if index not in m["indexes"]:
+            return False  # only existing indexes may be aliased
+        lst = m["aliases"].setdefault(alias, [])
+        if index not in lst:
+            lst.append(index)
+        self._save(m)
+        return True
+
+    def unalias(self, alias: str, index: str = "") -> bool:
+        m = self._load()
+        if alias not in m["aliases"]:
+            return False
+        if index == "":
+            del m["aliases"][alias]  # drop whole alias
+        else:
+            if index not in m["aliases"][alias]:
+                return False
+            m["aliases"][alias].remove(index)
+            if not m["aliases"][alias]:
+                del m["aliases"][alias]
+        self._save(m)
+        return True
+
+    # ---- D5: rename (keeps aliases pointing at the new name) ----------------
+    def rename(self, old: str, new: str) -> bool:
+        m = self._load()
+        if old not in m["indexes"] or new in m["indexes"]:
+            return False
+        m["indexes"].remove(old)
+        m["indexes"].append(new)
+        for lst in m["aliases"].values():
+            for i, n in enumerate(lst):
+                if n == old:
+                    lst[i] = new
+        old_dir, new_dir = self._index_dir(old), self._index_dir(new)
+        if os.path.exists(old_dir):
+            os.rename(old_dir, new_dir)
+        self._save(m)
+        return True
+
+    # ---- D6: drop (cascades to aliases) --------------------------------------
+    def drop(self, name: str) -> bool:
+        m = self._load()
+        if name not in m["indexes"]:
+            return False
+        m["indexes"].remove(name)
+        for alias in list(m["aliases"]):
+            lst = m["aliases"][alias]
+            if name in lst:
+                lst.remove(name)
+            if not lst:
+                del m["aliases"][alias]
+        self._save(m)
+        d = self._index_dir(name)
+        if os.path.exists(d):
+            shutil.rmtree(d)
+        return True

@@ -1,0 +1,286 @@
+"""Query execution: analyze the query, prune the postings scan, run the
+per-bucket kernel, merge the global top-k.
+
+Lifecycle (≙ SURVEY §3.2, re-expressed for Spark):
+  driver: analyze(query) with the SAME analyzer as indexing
+          (index_memory_index.go:45,63 — one pipeline for both)
+  driver: term-dictionary probe — a term with df=0 means AND-empty, return
+          without launching a job (the reference's LinearSearch early exit,
+          search_linear_search.go:65-67, promoted to plan time)
+  executors: postings scan pruned to the query terms (parquet row-group
+          skipping: postings are sorted by term within each bucket dir)
+          -> groupBy(bucket) applyInPandas kernel: decode segments, k-way
+          galloping intersection via searchsorted (the vectorized analogue
+          of two-pointer + skip pointers), exact BM25 scoring, local top-k
+  driver plan: union of local top-ks -> global orderBy(score DESC,
+          docid ASC).limit(k) -> broadcast-join docmap for url hydration.
+
+Determinism: docids are dense in url order (build.py), so
+(score DESC, docid ASC) ≡ the reference's (hits DESC, Document.ID ASC)
+contract (search_result.go:31-38). BM25 sums per-term contributions in
+sorted-term order -> bit-identical float64 scores vs the oracle.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from visigoth_spark.analysis import AnalyzerConfig, DEFAULT_ANALYZER, analyze_text
+from visigoth_spark.build import load_stats
+from visigoth_spark.codec import BM25_B, BM25_K1, decode_segment, tf_norm
+
+RESULT_KERNEL_SCHEMA = "docid long, score double, hits int"
+
+# ≙ the EngineType enum (search_search.go:5-22). `SmartsHits` is declared but
+# unimplemented in the reference — our bm25/bm25_wand engines occupy that
+# slot rather than inventing semantics for it.
+ENGINES = frozenset(
+    {"bm25", "bm25_wand", "hits", "linear", "noop_zero", "noop_all"}
+)
+
+
+class SearchIndex:
+    """Read surface over an index directory (≙ the Indexer interface,
+    search_search.go:15-19: Len / Indexed / Document)."""
+
+    def __init__(self, spark: SparkSession, index_dir: str,
+                 analyzer: AnalyzerConfig = DEFAULT_ANALYZER):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.analyzer = analyzer
+        self.stats = load_stats(index_dir)
+        self._postings = spark.read.option(
+            "basePath", f"{index_dir}/postings"
+        ).parquet(f"{index_dir}/postings")
+        self._docmap = spark.read.parquet(f"{index_dir}/docmap")
+
+    # ---- Indexer primitives (B3-B5) ---------------------------------------
+    def __len__(self) -> int:
+        return self.stats["n_docs"]
+
+    def term_df(self, terms: list[str]) -> dict[str, int]:
+        """df per term — a pruned metadata scan (no blob decode)."""
+        if not terms:
+            return {}
+        rows = (
+            self._postings.filter(F.col("term").isin(terms))
+            .groupBy("term")
+            .agg(F.sum("df_seg").alias("df"))
+            .collect()
+        )
+        out = {t: 0 for t in terms}
+        out.update({r["term"]: r["df"] for r in rows})
+        return out
+
+    def indexed(self, term: str) -> np.ndarray:
+        """Posting-list lookup (≙ MemoryIndex.Indexed) — decoded docids."""
+        rows = (
+            self._postings.filter(F.col("term") == term)
+            .select("bucket", "min_docid", "blob")
+            .collect()
+        )
+        if not rows:
+            return np.zeros(0, dtype=np.int64)
+        parts = [decode_segment(bytes(r["blob"]))[0]
+                 for r in sorted(rows, key=lambda r: r["min_docid"])]
+        return np.concatenate(parts)
+
+    def documents(self, docids: list[int]) -> DataFrame:
+        """docid -> url hydration (≙ MemoryIndex.Document)."""
+        return self._docmap.filter(F.col("docid").isin([int(d) for d in docids]))
+
+    # ---- engines ------------------------------------------------------------
+    def search(self, query: str, engine: str = "bm25", k: int | None = 10
+               ) -> DataFrame:
+        """Returns a DataFrame (url, docid, score, hits) ordered by the
+        engine's contract. Engines: bm25 | bm25_wand | hits | linear |
+        noop_zero | noop_all."""
+        if engine not in ENGINES:
+            raise ValueError(
+                f"unknown engine {engine!r}; expected one of {sorted(ENGINES)}"
+            )
+        if engine == "noop_zero":
+            return self._empty_result()
+        if engine == "noop_all":
+            out = self._docmap.select(
+                "url", "docid", F.lit(0.0).alias("score"),
+                F.lit(0).alias("hits"),
+            ).orderBy("docid")
+            return out.limit(k) if k is not None else out
+
+        tokens = analyze_text(query, self.analyzer)
+        if not tokens:
+            return self._empty_result()
+        terms = sorted(set(tokens))
+        multiplicity = {t: tokens.count(t) for t in terms}
+
+        dfs = self.term_df(terms)
+        if engine in ("linear", "bm25", "bm25_wand") and any(
+            dfs[t] == 0 for t in terms
+        ):
+            return self._empty_result()  # AND with a missing term
+
+        n_docs = self.stats["n_docs"]
+        avgdl = self.stats["avgdl"]
+        idf = {
+            t: math.log((n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5) + 1.0)
+            for t in terms
+        }
+
+        seg = self._postings.filter(F.col("term").isin(terms)).select(
+            "term", "bucket", "min_docid", "blob", "skips"
+        )
+        kernel = _make_kernel(engine, terms, multiplicity, idf, avgdl,
+                              threshold=len(tokens), k=k)
+        local = seg.groupBy("bucket").applyInPandas(kernel, RESULT_KERNEL_SCHEMA)
+
+        if engine == "hits":
+            ordered = local.orderBy(F.desc("hits"), F.asc("docid"))
+        elif engine == "linear":
+            ordered = local.orderBy(F.asc("docid"))
+        else:
+            ordered = local.orderBy(F.desc("score"), F.asc("docid"))
+        if k is not None:
+            ordered = ordered.limit(k)
+        # hydrate urls: the (small) result side is broadcast into the docmap
+        return (
+            self._docmap.join(F.broadcast(ordered), "docid")
+            .select("url", "docid", "score", "hits")
+            .orderBy(*_order_cols(engine))
+        )
+
+    def _empty_result(self) -> DataFrame:
+        return self.spark.createDataFrame(
+            [], "url string, docid long, score double, hits int"
+        )
+
+
+def _order_cols(engine: str):
+    if engine == "hits":
+        return [F.desc("hits"), F.asc("url")]
+    if engine in ("linear", "noop_all"):
+        return [F.asc("docid")]
+    return [F.desc("score"), F.asc("url")]
+
+
+def _decode_term_segments(pdf: pd.DataFrame, term: str):
+    """Concat a term's (disjoint, docid-ranged) segments in docid order."""
+    rows = pdf[pdf["term"] == term].sort_values("min_docid")
+    ids, tfs, dls = [], [], []
+    for blob in rows["blob"]:
+        d, t, l = decode_segment(bytes(blob))
+        ids.append(d)
+        tfs.append(t)
+        dls.append(l)
+    return (
+        np.concatenate(ids) if ids else np.zeros(0, dtype=np.int64),
+        np.concatenate(tfs) if tfs else np.zeros(0, dtype=np.int64),
+        np.concatenate(dls) if dls else np.zeros(0, dtype=np.int64),
+    )
+
+
+def _gallop_intersect(lists: list[np.ndarray]) -> np.ndarray:
+    """k-way AND: drive from the rarest list, probe the others with
+    searchsorted (vectorized galloping — the skip-pointer analogue; the
+    reference's two-pointer kernel is search_linear_search.go:12-31, with
+    the rarest-first optimization noted in SURVEY §2.3 C6)."""
+    lists = sorted(lists, key=len)
+    cand = lists[0]
+    for other in lists[1:]:
+        if len(cand) == 0:
+            break
+        pos = np.searchsorted(other, cand)
+        pos = np.minimum(pos, len(other) - 1)
+        cand = cand[other[pos] == cand]
+    return cand
+
+
+def _make_kernel(engine: str, terms: list[str], multiplicity: dict[str, int],
+                 idf: dict[str, float], avgdl: float, threshold: int,
+                 k: int | None):
+    """Build the per-bucket applyInPandas kernel. All state is captured by
+    value (broadcast with the task closure — a few floats per query term)."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        decoded = {t: _decode_term_segments(pdf, t) for t in terms}
+
+        if engine == "hits":
+            # union + instance-weighted counting (search_hits_search.go:52-76:
+            # duplicate query tokens re-count; threshold includes duplicates)
+            all_ids = np.concatenate(
+                [decoded[t][0] for t in terms]
+                + [np.zeros(0, dtype=np.int64)]
+            )
+            if len(all_ids) == 0:
+                return _EMPTY
+            weights = np.concatenate(
+                [np.full(len(decoded[t][0]), multiplicity[t], dtype=np.int64)
+                 for t in terms]
+                + [np.zeros(0, dtype=np.int64)]
+            )
+            uniq, inv = np.unique(all_ids, return_inverse=True)
+            hits = np.bincount(inv, weights=weights).astype(np.int64)
+            keep = hits >= threshold
+            return pd.DataFrame(
+                {"docid": uniq[keep], "score": hits[keep].astype(np.float64),
+                 "hits": hits[keep].astype(np.int32)}
+            )
+
+        # AND engines: intersect, then score
+        lists = [decoded[t][0] for t in terms]
+        if any(len(x) == 0 for x in lists):
+            return _EMPTY
+        cand = _gallop_intersect(lists)
+        if len(cand) == 0:
+            return _EMPTY
+
+        if engine == "linear":
+            return pd.DataFrame(
+                {"docid": cand,
+                 "score": np.full(len(cand), float(threshold)),
+                 "hits": np.full(len(cand), threshold, dtype=np.int32)}
+            )
+
+        # bm25 / bm25_wand: exact scoring of the AND candidates, summation
+        # in sorted-term order for float64 determinism vs the oracle
+        score = np.zeros(len(cand), dtype=np.float64)
+        for t in terms:  # `terms` is sorted
+            ids, tfs, dls = decoded[t]
+            pos = np.searchsorted(ids, cand)
+            tf = tfs[pos].astype(np.float64)
+            dl = dls[pos].astype(np.float64)
+            score += idf[t] * (tf * (BM25_K1 + 1.0)) / (
+                tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl)
+            )
+        out = pd.DataFrame(
+            {"docid": cand, "score": score,
+             "hits": np.full(len(cand), len(terms), dtype=np.int32)}
+        )
+        if k is not None and len(out) > k:
+            # local top-k: keep k best (score DESC, docid ASC) per bucket
+            out = out.sort_values(
+                ["score", "docid"], ascending=[False, True]
+            ).head(k)
+        return out
+
+    return kernel
+
+
+_EMPTY = pd.DataFrame(
+    {"docid": pd.Series(dtype=np.int64),
+     "score": pd.Series(dtype=np.float64),
+     "hits": pd.Series(dtype=np.int32)}
+)
+
+
+def search(spark: SparkSession, index_dir: str, query: str,
+           engine: str = "bm25", k: int | None = 10,
+           analyzer: AnalyzerConfig = DEFAULT_ANALYZER) -> DataFrame:
+    """One-shot convenience wrapper."""
+    return SearchIndex(spark, index_dir, analyzer).search(query, engine, k)
