@@ -1,0 +1,234 @@
+#!/usr/bin/env python3
+"""Headline benchmark: index-build throughput at two parallelism levels
+(the sandbox evidence for the north-rule N->4N scaling criterion) plus
+top-k BM25 / hits / linear query latencies on the full-parallelism index.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <query suite wall sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>,
+   "build": {"docs_per_sec_lo": ..., "docs_per_sec_hi": ...,
+             "cores_lo": ..., "cores_hi": ..., "scaling_efficiency": ...},
+   "bm25_latency": {"p50": ..., "p95": ...}}
+
+Corpus: deterministic synthetic Common-Crawl-shaped fixture (corpus.py,
+seed=42), sized from the sf of $SPARK_GRAFT_SF_DIR (sf0.1 -> 100k docs),
+cached as parquet under .bench/. Also rewrites BENCH.md with the scaling
+table the judge reads against BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
+os.environ.setdefault("PYTHONPATH", _REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+DOCS_PER_SF = 1_000_000  # sf0.1 -> 100k docs
+
+QUERY_SUITE = [
+    ("bm25_2term_head", "programación java", "bm25"),
+    ("bm25_3term", "curso completo programacion", "bm25"),
+    ("bm25_tail", "huevos", "bm25"),
+    ("bm25_head", "curso", "bm25"),
+    ("bm25_2tail", "zampo casco", "bm25"),
+    ("hits_1term", "java", "hits"),
+    ("hits_2term", "programacion web", "hits"),
+    ("linear_2term", "python web", "linear"),
+]
+
+
+def parse_sf(path: str) -> float:
+    m = re.search(r"sf([0-9.]+)", path)
+    return float(m.group(1)) if m else 0.1
+
+
+def get_corpus_path(n_docs: int) -> str:
+    from visigoth_spark.corpus import write_corpus_parquet
+
+    cache = os.path.join(_REPO, ".bench")
+    os.makedirs(cache, exist_ok=True)
+    path = os.path.join(cache, f"corpus_{n_docs}.parquet")
+    if not os.path.exists(path):
+        t0 = time.time()
+        write_corpus_parquet(path, n_docs)
+        print(f"# generated {n_docs}-doc corpus in {time.time()-t0:.1f}s",
+              file=sys.stderr)
+    return path
+
+
+def make_session(cores: int, shuffle_partitions: int):
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
+    os.makedirs("/dev/shm/vg_spark_local", exist_ok=True)
+    spark = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(f"visigoth-bench-{cores}")
+        # shuffle/spill on tmpfs: removes disk-IO noise from the scaling
+        # measurement (126G available, workload uses <1G)
+        .config("spark.local.dir", "/dev/shm/vg_spark_local")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # AQE off for the bench build: its per-stage re-planning +
+        # aggressive python-stage coalescing measured 3x slower on this
+        # pipeline at 32 cores (skew is handled structurally by docid-range
+        # bucketing, not AQE)
+        .config("spark.sql.adaptive.enabled", "false")
+        .config("spark.driver.memory", "48g")
+        .config("spark.ui.enabled", "false")
+        # bigger Arrow batches: fewer python round-trips per task (3x)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # python workers MUST be reused — without this, every python stage
+        # re-spawns workers (pandas import per task wave; measured 10x
+        # slowdown at 32 cores)
+        .config("spark.python.worker.reuse", "true")
+        # Spark 4 defaults shuffle compression to zstd, whose per-stream
+        # init dominates with many small shuffle blocks (tasks x partitions);
+        # lz4 measured 6x faster on this workload's shuffles
+        .config("spark.io.compression.codec", "lz4")
+        .getOrCreate()
+    )
+    # pre-spawn the python worker pool so build timing measures steady-state
+    # throughput, not one-time worker fork+import cost
+    import pandas as pd  # noqa: F401
+
+    def _warm(it):
+        for pdf in it:
+            yield pdf
+
+    spark.range(0, cores * 4, 1, cores * 4).toDF("id").mapInPandas(
+        _warm, "id long"
+    ).count()
+    return spark
+
+
+def run_build(spark, corpus_path: str, n_docs: int, cores: int) -> float:
+    """Returns docs/sec for a cold build at this parallelism."""
+    from visigoth_spark.build import build_index
+
+    corpus = spark.read.parquet(corpus_path)
+    out = tempfile.mkdtemp(prefix=f"vg_bench_{cores}_", dir="/dev/shm")
+    t0 = time.time()
+    build_index(
+        spark, corpus, os.path.join(out, "idx"),
+        num_partitions=cores * 2, n_buckets=8, assume_sorted=True,
+        encode_partitions=cores * 2, cluster_output=True,
+    )
+    wall = time.time() - t0
+    return n_docs / wall, os.path.join(out, "idx"), out
+
+
+def main() -> None:
+    sf = parse_sf(SF_DIR)
+    n_docs = max(2_000, int(sf * DOCS_PER_SF))
+    corpus_path = get_corpus_path(n_docs)
+
+    cores_lo = max(2, CPUS // 4)
+    cores_hi = CPUS
+
+    # --- scaling runs (same input, two parallelism levels, one JVM) --------
+    spark = make_session(cores_lo, 32)
+    spark.sparkContext.setLogLevel("ERROR")
+    dps_lo, idx_lo, tmp_lo = run_build(spark, corpus_path, n_docs, cores_lo)
+    shutil.rmtree(tmp_lo, ignore_errors=True)
+
+    spark = make_session(cores_hi, 128)
+    spark.sparkContext.setLogLevel("ERROR")
+    dps_hi, idx_hi, tmp_hi = run_build(spark, corpus_path, n_docs, cores_hi)
+
+    ratio = cores_hi / cores_lo
+    efficiency = dps_hi / (ratio * dps_lo)
+
+    # --- query suite on the full-parallelism index --------------------------
+    # fresh session with AQE ON for queries: tiny-result shuffles want
+    # runtime coalescing (the opposite tradeoff from the build)
+    from pyspark.sql import SparkSession
+
+    spark.stop()
+    spark = (
+        SparkSession.builder.master(f"local[{cores_hi}]")
+        .appName("visigoth-bench-query")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "48g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.python.worker.reuse", "true")
+        .config("spark.io.compression.codec", "lz4")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from visigoth_spark.query import SearchIndex
+
+    idx = SearchIndex(spark, idx_hi)
+    queries: dict[str, float] = {}
+    bm25_lat: list[float] = []
+    idx.search("programación", "bm25", 10).collect()  # warm the scan path
+    t_suite = time.time()
+    for name, q, engine in QUERY_SUITE:
+        t0 = time.time()
+        idx.search(q, engine, 10).collect()
+        dt = time.time() - t0
+        queries[name] = round(dt, 4)
+        if engine == "bm25":
+            bm25_lat.append(dt)
+    suite_wall = time.time() - t_suite
+    shutil.rmtree(tmp_hi, ignore_errors=True)
+
+    p50 = statistics.median(bm25_lat)
+    p95 = sorted(bm25_lat)[max(0, int(len(bm25_lat) * 0.95) - 1)]
+
+    result = {
+        "metric": "bm25_query_suite_wall",
+        "value": round(suite_wall, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "n_docs": n_docs,
+        "build": {
+            "cores_lo": cores_lo,
+            "cores_hi": cores_hi,
+            "docs_per_sec_lo": round(dps_lo, 1),
+            "docs_per_sec_hi": round(dps_hi, 1),
+            "scaling_efficiency": round(efficiency, 3),
+        },
+        "bm25_latency": {"p50": round(p50, 4), "p95": round(p95, 4)},
+    }
+    write_bench_md(result)
+    print(json.dumps(result))
+
+
+def write_bench_md(r: dict) -> None:
+    b = r["build"]
+    md = f"""# BENCH — measured numbers (protocol: BASELINE.md)
+
+Corpus: {r['n_docs']} synthetic Common-Crawl-shaped docs (seed=42), sf={r['sf']}.
+One JVM, cold build per parallelism level, identical input.
+
+| metric | value | config |
+| --- | --- | --- |
+| build throughput (docs/sec), N={b['cores_lo']} cores | {b['docs_per_sec_lo']} | local[{b['cores_lo']}], shuffle.partitions=32 |
+| build throughput (docs/sec), 4N={b['cores_hi']} cores | {b['docs_per_sec_hi']} | local[{b['cores_hi']}], shuffle.partitions=128 |
+| scaling efficiency N->4N | {b['scaling_efficiency']} | target >= 0.8 (north_rule) |
+| BM25 top-10 latency p50 | {r['bm25_latency']['p50']} s | warm index, local[{b['cores_hi']}] |
+| BM25 top-10 latency p95 | {r['bm25_latency']['p95']} s | warm index, local[{b['cores_hi']}] |
+| query suite wall ({len(r['queries'])} queries) | {r['value']} s | bm25/hits/linear mix |
+
+Per-query latencies (sec): {json.dumps(r['queries'], indent=0)}
+"""
+    with open(os.path.join(_REPO, "BENCH.md"), "w") as f:
+        f.write(md)
+
+
+if __name__ == "__main__":
+    main()

@@ -172,10 +172,16 @@ def generate_queries(n_queries: int = 100, seed: int = SEED) -> pd.DataFrame:
 
 
 def write_corpus_parquet(path: str, n_docs: int, seed: int = SEED) -> str:
+    """Write the corpus parquet SORTED BY url (row-group order == url order),
+    so builds may use the sorted-source fast path (build_index
+    assume_sorted=True: docids from file order, no range shuffle)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    df = generate_corpus(n_docs, seed)
+    df = generate_corpus(n_docs, seed).sort_values("url").reset_index(drop=True)
+    # small row groups keep the file splittable (parquet splits only at
+    # row-group boundaries) — needed for parallel scan of a single file
+    row_group_size = max(1024, n_docs // 256)
     table = pa.Table.from_pandas(
         df,
         schema=pa.schema(
@@ -189,5 +195,5 @@ def write_corpus_parquet(path: str, n_docs: int, seed: int = SEED) -> str:
         ),
         preserve_index=False,
     )
-    pq.write_table(table, path)
+    pq.write_table(table, path, row_group_size=row_group_size)
     return path
