@@ -121,6 +121,29 @@ class TestBM25Parity:
         assert all(r == runs[0] for r in runs)
 
 
+class TestWandParity:
+    """Block-max WAND must be EXACTLY the exhaustive BM25 engine's output —
+    pruning may only skip work, never change the top-k (scores included)."""
+
+    @pytest.mark.parametrize("q", QUERIES)
+    def test_wand_equals_exhaustive(self, index, oracle, q):
+        got = [(r["url"], r["score"])
+               for r in index.search(q, "bm25_wand", k=10).collect()]
+        exp = oracle.bm25_search(q, k=10)
+        assert [u for u, _ in got] == [u for u, _ in exp], q
+        for (u1, s1), (u2, s2) in zip(got, exp):
+            assert s1 == pytest.approx(s2, abs=1e-12), (q, u1)
+
+    @pytest.mark.parametrize("k", [1, 3, 100])
+    def test_wand_k_sweep(self, index, k):
+        q = "curso java"
+        a = [(r["url"], r["score"])
+             for r in index.search(q, "bm25", k=k).collect()]
+        b = [(r["url"], r["score"])
+             for r in index.search(q, "bm25_wand", k=k).collect()]
+        assert a == b
+
+
 class TestNoops:
     def test_noop_zero(self, index):
         assert index.search("java", "noop_zero").count() == 0

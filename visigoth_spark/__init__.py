@@ -22,4 +22,42 @@ into /root/reference.
 
 __version__ = "0.1.0"
 
-from visigoth_spark.analysis import AnalyzerConfig, analyze_series  # noqa: F401
+import os as _os
+import tempfile as _tempfile
+import zipfile as _zipfile
+
+_SHIPPED_SESSIONS: set[int] = set()
+
+
+def ensure_shipped(spark) -> None:
+    """Make this package importable on executors (the programmatic twin of
+    ``spark-submit --py-files``). Idempotent per session; no-op when the
+    package is already importable worker-side via PYTHONPATH (e.g. tests run
+    from the repo root). build_index()/SearchIndex() call this so the
+    library works when driven from any cwd."""
+    sc = spark.sparkContext
+    key = id(sc)
+    if key in _SHIPPED_SESSIONS:
+        return
+    pkg_dir = _os.path.dirname(_os.path.abspath(__file__))
+    zpath = _os.path.join(
+        _tempfile.gettempdir(), f"visigoth_spark_pkg_{__version__}.zip"
+    )
+    if not _os.path.exists(zpath):
+        tmp = zpath + ".tmp"
+        with _zipfile.ZipFile(tmp, "w") as z:
+            for root, _, files in _os.walk(pkg_dir):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = _os.path.join(root, fn)
+                        rel = _os.path.join(
+                            "visigoth_spark",
+                            _os.path.relpath(full, pkg_dir),
+                        )
+                        z.write(full, rel)
+        _os.replace(tmp, zpath)
+    sc.addPyFile(zpath)
+    _SHIPPED_SESSIONS.add(key)
+
+
+from visigoth_spark.analysis import AnalyzerConfig, analyze_series  # noqa: E402,F401

@@ -1,40 +1,51 @@
 """Batch index build: corpus DataFrame -> on-disk inverted index.
 
-Dataflow (all heavy work in vectorized Arrow kernels; the only wide
-exchanges are the url range-shuffle and the (term, bucket) shuffle):
+Dataflow — ONE fused mapInPandas pass over the corpus, ZERO wide shuffles:
 
   corpus(url, text)
-    -> repartitionByRange(P, url) + sortWithinPartitions(url)   [persist]
-    -> pass 0: per-partition row counts -> driver prefix sums   (tiny)
-    -> pass 1 (mapInPandas): dense global docid = offset[pid] + local row,
-               analyze text, explode -> (term, docid, tf, doclen) pairs
-    -> bucket = docid // bucket_width  (docid-range bucketing)
-    -> groupBy(term, bucket).applyInPandas(encode)  -> posting segments
-    -> write parquet partitioned by bucket, sorted by term
-  plus: docmap (docid, url, lang) from pass 1's twin projection, and
+    -> deterministic partitioning substrate:
+         assume_sorted: parquet file splits in url order (no shuffle at all)
+         else: repartitionByRange(P, url) + sortWithinPartitions(url) [persist]
+    -> pass 0: per-partition row counts -> driver prefix sums  (zero-column
+       scan; P rows on the driver)
+    -> pass 1 (mapInPandas, fused): per partition —
+         dense global docid = offset[pid] + local row,
+         vectorized analyze, tf via pandas groupby,
+         sort (term, docid), vectorized multi-group varbyte encode
+         -> SEGMENT rows (kind='s') for every term in the partition
+         -> DOCMAP rows (kind='d') (docid, url, doclen)
+       written ONCE, partitioned by (kind, batch).
   stats.json (N, total_tokens, avgdl) derived from segment metadata.
 
+Why no (term, docid) shuffle: docids are assigned CONTIGUOUSLY per corpus
+partition, so with bucket := partition id every (term, bucket) posting group
+already lives inside exactly one map task. The shuffle the classic build
+pays to co-locate a term's postings buys nothing here — per-term posting
+lists are split across buckets by docid range (Lucene-style segments), and
+query-time intersection is per-bucket embarrassingly parallel with zero
+cross-bucket coordination (query.py concatenates a term's segments in
+min_docid order).
+
 Scale rationale (100 TB / 10^12 docs):
-- **docid assignment** is two cheap passes over the range-shuffled corpus —
-  no global window, no driver materialization beyond P counts. Dense ids in
-  url order make (score DESC, docid ASC) ≡ (score DESC, url ASC), the
-  reference's determinism contract (search_result.go:31-38), and give small
-  deltas for varbyte.
-- **head-term skew** (north_rule: explicit handling, not AQE-only): the
-  shuffle key is (term, bucket), so a head term's postings are split across
-  n_buckets reducers and NO task ever holds more than bucket_width postings
-  for one term — the per-group memory bound is structural, independent of
-  term frequency. Buckets are docid ranges (not hashes) so each segment is a
-  sorted docid run and query-time intersection is per-bucket embarrassingly
-  parallel with zero cross-bucket coordination.
-- **postings never carry text/urls** — only (term, docid, tf, doclen) ints
-  cross the term shuffle (SURVEY §1.5).
-- **checkpoint/resume**: the corpus is built in ``n_batches`` docid-range
+- **docid assignment** is one cheap zero-column counting pass + driver
+  prefix sums — no global window, no driver materialization beyond P counts.
+  Dense ids in url order make (score DESC, docid ASC) ≡ (score DESC,
+  url ASC), the reference's determinism contract (search_result.go:31-38),
+  and give delta=1-heavy varbyte streams.
+- **head-term skew** (north_rule: explicit handling, not AQE-only): a head
+  term's postings are split across ALL partitions, and no task ever holds
+  more postings for one term than its own partition's doc count — the
+  per-group memory bound is structural, independent of term frequency. There
+  is no shuffle whose reducer could be skewed in the first place.
+- **postings never carry text/urls** — analysis, tf-aggregation and encoding
+  happen inside the partition that read the text; only compressed segment
+  blobs and (docid, url) docmap rows are written out (SURVEY §1.5).
+- **checkpoint/resume**: the corpus is built in ``n_batches`` partition-range
   batches; each batch writes its own parquet subdir + a lineage manifest
   JSON (inputs, counts, bytes, wall time). Resume skips batches whose
   manifest is present and whose output has a _SUCCESS marker. Batches are
-  disjoint docid ranges, so per-(term,bucket) segments across batches
-  concatenate in sorted order at query time (Lucene-style segments).
+  disjoint docid ranges, so segments across batches concatenate in sorted
+  order at query time.
 
 Catalog-level semantics (index naming, aliases) live in catalog.py.
 """
@@ -51,38 +62,22 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    IntegerType,
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-)
 
 from visigoth_spark.analysis import AnalyzerConfig, DEFAULT_ANALYZER, analyze_series
-from visigoth_spark.codec import encode_segment
+from visigoth_spark.codec import encode_groups
 
-PAIRS_SCHEMA = StructType(
-    [
-        StructField("term", StringType()),
-        StructField("docid", LongType()),
-        StructField("tf", IntegerType()),
-        StructField("doclen", IntegerType()),
-    ]
+# one fused output schema: segment rows (kind='s') + docmap rows (kind='d').
+# Non-applicable columns carry sentinel values (not nulls) to keep the Arrow
+# conversion branch-free; readers always filter on kind first.
+OUT_SCHEMA = (
+    "kind string, bucket int, term string, df_seg int, sum_tf long, "
+    "min_docid long, max_docid long, blob binary, skips binary, "
+    "docid long, url string, doclen int"
 )
 
-DOCMAP_SCHEMA = StructType(
-    [
-        StructField("docid", LongType()),
-        StructField("url", StringType()),
-        StructField("doclen", IntegerType()),
-    ]
-)
-
-SEGMENT_SCHEMA = (
-    "term string, bucket int, df_seg int, sum_tf long, "
-    "min_docid long, max_docid long, blob binary, skips binary"
-)
+_SEG_COLS = ["term", "df_seg", "sum_tf", "min_docid", "max_docid",
+             "blob", "skips"]
+_DOC_COLS = ["docid", "url", "doclen"]
 
 
 @dataclass
@@ -107,10 +102,12 @@ def _ranged_corpus(corpus: DataFrame, num_partitions: int) -> DataFrame:
     )
 
 
-def _partition_offsets(ranged: DataFrame) -> dict[int, int]:
-    """Pass 0: per-partition counts -> prefix-sum offsets (P rows on driver)."""
+def _partition_offsets(src: DataFrame) -> dict[int, int]:
+    """Pass 0: per-partition counts -> prefix-sum offsets (P rows on driver).
+    Projects zero data columns, so a parquet-backed src is a metadata-speed
+    scan."""
     counts = (
-        ranged.withColumn("_pid", F.spark_partition_id())
+        src.select(F.spark_partition_id().alias("_pid"))
         .groupBy("_pid")
         .count()
         .collect()
@@ -125,16 +122,91 @@ def _partition_offsets(ranged: DataFrame) -> dict[int, int]:
     return offsets
 
 
-def _pairs_generator(offsets: dict[int, int], analyzer: AnalyzerConfig):
-    """mapInPandas fn: assign docids and explode analyzed terms to
-    (term, docid, tf, doclen) — tf computed via a vectorized pandas groupby,
-    never a per-row Python loop."""
+def _seg_frame(pairs: pd.DataFrame, bucket: int) -> pd.DataFrame:
+    """Encode one partition's accumulated (term, docid, tf, doclen) pairs
+    into segment rows. Sort by (term, docid), find group boundaries
+    vectorized, run the multi-group varbyte encoder once."""
+    pairs = pairs.sort_values(["term", "docid"], kind="stable",
+                              ignore_index=True)
+    terms = pairs["term"].to_numpy()
+    docids = pairs["docid"].to_numpy(dtype=np.int64)
+    tfs = pairs["tf"].to_numpy(dtype=np.int64)
+    dls = pairs["doclen"].to_numpy(dtype=np.int64)
+    change = np.empty(len(terms), dtype=bool)
+    change[0] = True
+    change[1:] = terms[1:] != terms[:-1]
+    starts = np.flatnonzero(change)
+    ends = np.append(starts[1:], len(terms))
+    blobs, skips = encode_groups(starts, docids, tfs, dls)
+    # per-group sum_tf via segmented reduction (groups tile the array)
+    sum_tf = np.add.reduceat(tfs, starts)
+    n = len(starts)
+    return pd.DataFrame(
+        {
+            "kind": np.full(n, "s", dtype=object),
+            "bucket": np.full(n, bucket, dtype=np.int32),
+            "term": terms[starts],
+            "df_seg": (ends - starts).astype(np.int32),
+            "sum_tf": sum_tf.astype(np.int64),
+            "min_docid": docids[starts],
+            "max_docid": docids[ends - 1],
+            "blob": blobs,
+            "skips": skips,
+            "docid": np.full(n, -1, dtype=np.int64),
+            "url": np.full(n, "", dtype=object),
+            "doclen": np.zeros(n, dtype=np.int32),
+        }
+    )
+
+
+def _doc_frame(docids: np.ndarray, urls: np.ndarray, lens: np.ndarray,
+               bucket: int) -> pd.DataFrame:
+    n = len(docids)
+    return pd.DataFrame(
+        {
+            "kind": np.full(n, "d", dtype=object),
+            "bucket": np.full(n, bucket, dtype=np.int32),
+            "term": np.full(n, "", dtype=object),
+            "df_seg": np.zeros(n, dtype=np.int32),
+            "sum_tf": np.zeros(n, dtype=np.int64),
+            "min_docid": np.zeros(n, dtype=np.int64),
+            "max_docid": np.zeros(n, dtype=np.int64),
+            "blob": np.full(n, b"", dtype=object),
+            "skips": np.full(n, b"", dtype=object),
+            "docid": docids,
+            "url": urls,
+            "doclen": lens.astype(np.int32),
+        }
+    )
+
+
+def _fused_generator(offsets: dict[int, int], analyzer: AnalyzerConfig,
+                     flush_docs: int = 500_000):
+    """mapInPandas fn: the whole per-partition build. Emits docmap rows as
+    input batches stream through, accumulates (term, docid, tf, doclen)
+    pairs, and encodes all of the partition's segments in one vectorized
+    pass at the end (or every ``flush_docs`` docs — a flush splits terms
+    into extra docid-disjoint segments, which query-time concatenation
+    already handles, so memory stays bounded for huge partitions)."""
 
     def gen(iterator):
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
         next_id = offsets.get(pid, 0)
+        acc: list[pd.DataFrame] = []
+        acc_docs = 0
+
+        def flush():
+            nonlocal acc, acc_docs
+            if not acc:
+                return None
+            pairs = (pd.concat(acc, ignore_index=True)
+                     if len(acc) > 1 else acc[0])
+            acc = []
+            acc_docs = 0
+            return _seg_frame(pairs, pid)
+
         for pdf in iterator:
             n = len(pdf)
             if n == 0:
@@ -143,11 +215,14 @@ def _pairs_generator(offsets: dict[int, int], analyzer: AnalyzerConfig):
             lens = np.fromiter((len(t) for t in toks), dtype=np.int64, count=n)
             docids = np.arange(next_id, next_id + n, dtype=np.int64)
             next_id += n
+            yield _doc_frame(docids, pdf["url"].to_numpy(dtype=object),
+                             lens, pid)
             nz = lens > 0
             if not nz.any():
                 continue
             flat_terms = np.concatenate(
-                [np.asarray(t, dtype=object) for t, keep in zip(toks, nz) if keep]
+                [np.asarray(t, dtype=object) for t, keep in zip(toks, nz)
+                 if keep]
             )
             flat_docids = np.repeat(docids[nz], lens[nz])
             flat_doclens = np.repeat(lens[nz], lens[nz])
@@ -156,113 +231,24 @@ def _pairs_generator(offsets: dict[int, int], analyzer: AnalyzerConfig):
                     {
                         "term": flat_terms,
                         "docid": flat_docids,
-                        "doclen": flat_doclens.astype(np.int32),
+                        "doclen": flat_doclens,
                     }
                 )
                 .groupby(["term", "docid", "doclen"], sort=False)
                 .size()
                 .reset_index(name="tf")
             )
-            g["tf"] = g["tf"].astype(np.int32)
-            yield g[["term", "docid", "tf", "doclen"]]
-
-    return gen
-
-
-def _docmap_generator(offsets: dict[int, int], analyzer: AnalyzerConfig):
-    """mapInPandas fn: (docid, url, doclen). Tokenizes to get the analyzed
-    doclen (needed for NoopAll/match-all parity and stats cross-checks) —
-    but with stemming disabled: stemming is 1:1 per token, so the count is
-    identical and the docmap pass skips the stemmer entirely."""
-    import dataclasses
-
-    if analyzer.stem:
-        analyzer = dataclasses.replace(analyzer, stem=False)
-
-    def gen(iterator):
-        from pyspark import TaskContext
-
-        pid = TaskContext.get().partitionId()
-        next_id = offsets.get(pid, 0)
-        for pdf in iterator:
-            n = len(pdf)
-            if n == 0:
-                continue
-            toks = analyze_series(pdf["text"], analyzer)
-            lens = np.fromiter((len(t) for t in toks), dtype=np.int32, count=n)
-            out = pd.DataFrame(
-                {
-                    "docid": np.arange(next_id, next_id + n, dtype=np.int64),
-                    "url": pdf["url"].values,
-                    "doclen": lens,
-                }
-            )
-            next_id += n
+            acc.append(g)
+            acc_docs += n
+            if acc_docs >= flush_docs:
+                out = flush()
+                if out is not None:
+                    yield out
+        out = flush()
+        if out is not None:
             yield out
 
     return gen
-
-
-def _encode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Encode every complete (term, bucket) group in a sorted batch.
-    Input rows are sorted by (term, bucket, docid); group boundaries are
-    found vectorized, encode_segment runs once per group (numpy)."""
-    terms = pdf["term"].values
-    buckets = pdf["bucket"].values
-    docids = pdf["docid"].values.astype(np.int64)
-    tfs = pdf["tf"].values.astype(np.int64)
-    dls = pdf["doclen"].values.astype(np.int64)
-    change = np.empty(len(pdf), dtype=bool)
-    change[0] = True
-    change[1:] = (terms[1:] != terms[:-1]) | (buckets[1:] != buckets[:-1])
-    starts = np.flatnonzero(change)
-    ends = np.append(starts[1:], len(pdf))
-    out: dict[str, list] = {k: [] for k in (
-        "term", "bucket", "df_seg", "sum_tf", "min_docid", "max_docid",
-        "blob", "skips")}
-    for s, e in zip(starts, ends):
-        d, t, l = docids[s:e], tfs[s:e], dls[s:e]
-        blob, skips = encode_segment(d, t, l)
-        out["term"].append(terms[s])
-        out["bucket"].append(int(buckets[s]))
-        out["df_seg"].append(e - s)
-        out["sum_tf"].append(int(t.sum()))
-        out["min_docid"].append(int(d[0]))
-        out["max_docid"].append(int(d[-1]))
-        out["blob"].append(blob)
-        out["skips"].append(skips)
-    return pd.DataFrame(out)
-
-
-def _encode_stream(iterator):
-    """mapInPandas encode kernel over a partition whose rows are hash-
-    partitioned by (term, bucket) and sorted by (term, bucket, docid).
-    Arrow batches may split a group, so the trailing (possibly incomplete)
-    group of each batch is carried into the next. This replaces a
-    groupBy().applyInPandas with the SAME shuffle but none of the per-group
-    pandas overhead (measured 100x faster on 110k small groups)."""
-    carry: pd.DataFrame | None = None
-    for pdf in iterator:
-        if carry is not None and len(carry):
-            pdf = pd.concat([carry, pdf], ignore_index=True)
-            carry = None
-        if not len(pdf):
-            continue
-        last_term = pdf["term"].iloc[-1]
-        last_bucket = pdf["bucket"].iloc[-1]
-        tail_mask = (
-            (pdf["term"].values == last_term)
-            & (pdf["bucket"].values == last_bucket)
-        )
-        not_tail = ~tail_mask[::-1]
-        split = len(pdf) - (int(np.argmax(not_tail)) if not_tail.any()
-                            else len(pdf))
-        carry = pdf.iloc[split:]
-        body = pdf.iloc[:split]
-        if len(body):
-            yield _encode_batch(body)
-    if carry is not None and len(carry):
-        yield _encode_batch(carry)
 
 
 def build_index(
@@ -271,22 +257,27 @@ def build_index(
     out_dir: str,
     analyzer: AnalyzerConfig = DEFAULT_ANALYZER,
     num_partitions: int | None = None,
-    n_buckets: int | None = None,
     n_batches: int = 1,
     resume: bool = False,
     assume_sorted: bool = False,
-    encode_partitions: int | None = None,
-    cluster_output: bool = False,
+    flush_docs: int = 500_000,
+    n_buckets: int | None = None,  # accepted for API compat; bucket == pid
 ) -> BuildMetrics:
     """Build (or resume) the inverted index at ``out_dir``.
 
     ``assume_sorted``: the caller guarantees the corpus source is already
     globally sorted by url with partition order == url order (e.g. an
     Iceberg table maintained with a url sort order, or the bench fixture
-    parquet). Skips the range shuffle + sampling double-scan entirely —
-    docids come from (file-split order, row offset). The resulting index is
-    byte-identical to the shuffle path when the guarantee holds."""
+    parquet). Skips the range shuffle entirely — docids come from
+    (file-split order, row offset); parquet file splits of equal size keep
+    file order (Spark's split packing sorts by length descending with a
+    stable sort), which tests/test_engine_spark.py pins via docmap url
+    monotonicity. The resulting index is identical to the shuffle path when
+    the guarantee holds."""
     t0 = time.time()
+    import visigoth_spark
+
+    visigoth_spark.ensure_shipped(spark)
     timing = os.environ.get("VISIGOTH_TIMING") == "1"
 
     def tick(label: str, since: list[float]) -> None:
@@ -302,10 +293,13 @@ def build_index(
 
     P = num_partitions or spark.sparkContext.defaultParallelism * 2
     saved_mpb = None
+    persisted = False
     if assume_sorted:
         # split the sorted source into ~P read partitions (row-group
         # granularity); scoped to this build — restored in finally so the
-        # session's other reads keep the default split size
+        # session's other reads keep the default split size. No persist:
+        # parquet re-reads are deterministic and cheaper than JVM row
+        # caching of text columns.
         try:
             files = corpus.inputFiles()
             total = sum(
@@ -319,97 +313,73 @@ def build_index(
         except Exception:
             saved_mpb = None
         cols = [c for c in ("url", "text", "lang") if c in corpus.columns]
-        ranged = corpus.select(*cols).persist()
+        src = corpus.select(*cols)
     else:
-        ranged = _ranged_corpus(corpus, P).persist()
+        # the range shuffle samples boundaries nondeterministically, so the
+        # partitioning must be pinned across passes -> persist
+        src = _ranged_corpus(corpus, P).persist()
+        persisted = True
     try:
-        offsets = _partition_offsets(ranged)
+        offsets = _partition_offsets(src)
         tick("offsets", tmark)
         n_docs = offsets.pop(-1)
         if n_docs == 0:
             raise ValueError("empty corpus")
         P = len(offsets)  # actual partition count (file splits when sorted)
-        n_buckets = n_buckets or max(8, P)
-        bucket_width = max(1, math.ceil(n_docs / n_buckets))
 
-        # ---- docmap (skipped on resume if already written) -----------------
-        docmap_path = os.path.join(out_dir, "docmap")
-        docmap_manifest = os.path.join(manifest_dir, "docmap.json")
-        if not (resume and _is_complete(docmap_manifest, docmap_path)):
-            docmap = ranged.mapInPandas(
-                _docmap_generator(offsets, analyzer), DOCMAP_SCHEMA
-            )
-            docmap.write.mode("overwrite").parquet(docmap_path)
-            tick("docmap", tmark)
-            _write_manifest(
-                docmap_manifest,
-                kind="docmap", n_docs=n_docs, partitions=P,
-                wall_sec=time.time() - t0,
-            )
-
-        # ---- postings, in docid-range batches -------------------------------
         pids = sorted(offsets)
         batch_bounds = [
-            pids[round(i * len(pids) / n_batches): round((i + 1) * len(pids) / n_batches)]
+            pids[round(i * len(pids) / n_batches):
+                 round((i + 1) * len(pids) / n_batches)]
             for i in range(n_batches)
         ]
         metrics = BuildMetrics(n_docs=n_docs)
+        data_root = os.path.join(out_dir, "data")
         for bi, batch_pids in enumerate(batch_bounds):
-            seg_path = os.path.join(out_dir, "postings", f"batch={bi}")
+            batch_path = os.path.join(data_root, f"batch={bi}")
             man_path = os.path.join(manifest_dir, f"batch_{bi}.json")
-            if resume and _is_complete(man_path, seg_path):
+            if resume and _is_complete(man_path, batch_path):
                 continue
             if not batch_pids:
-                _write_manifest(man_path, kind="postings_batch", batch=bi,
-                                partitions=[], n_segments=0, wall_sec=0.0)
+                _write_manifest(man_path, kind="batch", batch=bi,
+                                partitions=[], n_segments=0, n_docs=0,
+                                wall_sec=0.0)
                 continue
             tb = time.time()
-            pid_set = set(batch_pids)
-            src = ranged.withColumn("_pid", F.spark_partition_id()).filter(
-                F.col("_pid").isin(list(pid_set))
-            ).drop("_pid")
-            pairs = src.mapInPandas(
-                _pairs_generator(offsets, analyzer), PAIRS_SCHEMA
+            part = src
+            if len(batch_pids) < P:
+                part = src.withColumn(
+                    "_pid", F.spark_partition_id()
+                ).filter(F.col("_pid").isin(batch_pids)).drop("_pid")
+            fused = part.mapInPandas(
+                _fused_generator(offsets, analyzer, flush_docs), OUT_SCHEMA
             )
-            pairs = pairs.withColumn(
-                "bucket", (F.col("docid") / F.lit(bucket_width)).cast("int")
+            fused.write.mode("overwrite").partitionBy("kind").parquet(
+                batch_path
             )
-            # the (term, bucket) shuffle: hash-repartition + in-partition
-            # sort, then one streaming encode pass (see _encode_stream)
-            P_enc = encode_partitions or max(
-                spark.sparkContext.defaultParallelism * 2, n_buckets
-            )
-            segments = (
-                pairs.repartition(P_enc, "term", "bucket")
-                .sortWithinPartitions("term", "bucket", "docid")
-                .mapInPandas(_encode_stream, SEGMENT_SCHEMA)
-            )
-            if cluster_output:
-                # optional extra shuffle: one clean term-sorted file per
-                # bucket (best read layout; costs one pass over the blobs)
-                segments = segments.repartition("bucket").sortWithinPartitions(
-                    "term", "min_docid"
-                )
-            (
-                segments.write.mode("overwrite")
-                .partitionBy("bucket")
-                .parquet(seg_path)
-            )
-            tick(f"postings batch {bi}", tmark)
+            tick(f"batch {bi}", tmark)
             # lineage + metrics from the written segment metadata (exact,
             # no extra corpus pass)
-            seg_meta = spark.read.parquet(seg_path).agg(
-                F.count("*").alias("n_segments"),
-                F.sum("df_seg").alias("n_postings"),
-                F.sum("sum_tf").alias("total_tokens"),
-                F.sum(F.length("blob")).alias("bytes_blob"),
-            ).collect()[0]
+            seg_meta = (
+                spark.read.option("basePath", batch_path)
+                .parquet(os.path.join(batch_path, "kind=s"))
+                .agg(
+                    F.count("*").alias("n_segments"),
+                    F.sum("df_seg").alias("n_postings"),
+                    F.sum("sum_tf").alias("total_tokens"),
+                    F.sum(F.length("blob")).alias("bytes_blob"),
+                )
+                .collect()[0]
+            )
             _write_manifest(
-                man_path, kind="postings_batch", batch=bi,
+                man_path, kind="batch", batch=bi,
                 partitions=batch_pids,
                 docid_range=[offsets[batch_pids[0]],
                              (offsets[batch_pids[-1] + 1]
                               if batch_pids[-1] + 1 in offsets else n_docs)],
+                n_docs=(offsets[batch_pids[-1] + 1]
+                        if batch_pids[-1] + 1 in offsets else n_docs)
+                       - offsets[batch_pids[0]],
                 n_segments=int(seg_meta["n_segments"] or 0),
                 n_postings=int(seg_meta["n_postings"] or 0),
                 total_tokens=int(seg_meta["total_tokens"] or 0),
@@ -432,6 +402,8 @@ def build_index(
         metrics.bytes_blob = bytes_blob
         metrics.wall_sec = time.time() - t0
 
+        part_sizes = [offsets[p + 1] - offsets[p] for p in pids[:-1]]
+        part_sizes.append(n_docs - offsets[pids[-1]])
         stats = {
             "n_docs": n_docs,
             "total_tokens": total_tokens,
@@ -439,8 +411,10 @@ def build_index(
             "n_postings": n_postings,
             "n_segments": n_segments,
             "bytes_blob": bytes_blob,
-            "bucket_width": bucket_width,
-            "n_buckets": n_buckets,
+            # bucket == corpus partition: the structural per-segment bound is
+            # the largest partition's doc count
+            "bucket_width": max(part_sizes),
+            "n_buckets": P,
             "n_batches": n_batches,
             "bm25": {"k1": 1.2, "b": 0.75},
             "analyzer": {
@@ -458,7 +432,8 @@ def build_index(
     finally:
         if saved_mpb is not None:
             spark.conf.set("spark.sql.files.maxPartitionBytes", saved_mpb)
-        ranged.unpersist()
+        if persisted:
+            src.unpersist()
 
 
 def _write_manifest(path: str, **kv) -> None:

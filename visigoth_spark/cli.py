@@ -1,0 +1,153 @@
+"""spark-submit entry points: build / query / inspect.
+
+Usage (cluster):
+    # package the library for the executors
+    cd /root/repo && zip -r /tmp/visigoth_spark.zip visigoth_spark
+    spark-submit --py-files /tmp/visigoth_spark.zip \
+        visigoth_spark/cli.py build \
+        --corpus /data/commoncrawl_pages --out s3://bucket/idx/main \
+        --partitions 4096 --batches 64 --resume
+
+    spark-submit --py-files /tmp/visigoth_spark.zip \
+        visigoth_spark/cli.py query \
+        --index s3://bucket/idx/main --engine bm25_wand -k 10 \
+        "programación java"
+
+Local (sandbox) smoke:
+    python -m visigoth_spark.cli build --corpus .bench/corpus_100000.parquet \
+        --out /tmp/idx --sorted
+    python -m visigoth_spark.cli query --index /tmp/idx "curso java"
+
+The build reads either a parquet path or (when --table is used) an Iceberg /
+catalog table via ``spark.read.table`` — the input-table shape is the
+BASELINE.json input_hint schema (url, warc_ts, html, text, lang). When the
+``text`` column is absent it is derived from ``html`` with the vectorized
+extractor (byte-identical to the oracle extractor, analysis.extract_text).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _session(app: str):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.appName(app)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.python.worker.reuse", "true")
+        .getOrCreate()
+    )
+
+
+def _load_corpus(spark, args):
+    from pyspark.sql import functions as F
+
+    if args.table:
+        df = spark.read.table(args.table)
+    else:
+        df = spark.read.parquet(args.corpus)
+    if "text" not in df.columns:
+        from visigoth_spark.analysis import extract_text_series
+
+        def gen(it):
+            for pdf in it:
+                pdf = pdf.copy()
+                pdf["text"] = extract_text_series(pdf["html"])
+                yield pdf[["url", "text"]]
+
+        df = df.select("url", "html").mapInPandas(gen, "url string, text string")
+    if args.lang:
+        df = df.filter(F.col("lang") == args.lang)
+    return df
+
+
+def cmd_build(argv: list[str]) -> int:
+    p = argparse.ArgumentParser(prog="cli build")
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--corpus", help="parquet path of the corpus")
+    src.add_argument("--table", help="catalog (Iceberg) table name")
+    p.add_argument("--out", required=True, help="index output directory")
+    p.add_argument("--partitions", type=int, default=None)
+    p.add_argument("--batches", type=int, default=1,
+                   help="checkpoint batches (resume granularity)")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--sorted", action="store_true",
+                   help="corpus is url-sorted; skip the range shuffle")
+    p.add_argument("--lang", default=None, help="filter to one language")
+    p.add_argument("--no-stem", action="store_true")
+    a = p.parse_args(argv)
+
+    from visigoth_spark.analysis import AnalyzerConfig, DEFAULT_ANALYZER
+    from visigoth_spark.build import build_index
+
+    spark = _session("visigoth-build")
+    analyzer = (AnalyzerConfig(stem=False) if a.no_stem else DEFAULT_ANALYZER)
+    t0 = time.time()
+    m = build_index(
+        spark, _load_corpus(spark, a), a.out, analyzer=analyzer,
+        num_partitions=a.partitions, n_batches=a.batches, resume=a.resume,
+        assume_sorted=a.sorted,
+    )
+    print(json.dumps({
+        "n_docs": m.n_docs, "n_postings": m.n_postings,
+        "n_segments": m.n_segments, "bytes_blob": m.bytes_blob,
+        "wall_sec": round(m.wall_sec, 2),
+        "docs_per_sec": round(m.n_docs / max(m.wall_sec, 1e-9), 1),
+    }))
+    return 0
+
+
+def cmd_query(argv: list[str]) -> int:
+    p = argparse.ArgumentParser(prog="cli query")
+    p.add_argument("--index", required=True)
+    p.add_argument("--engine", default="bm25",
+                   choices=["bm25", "bm25_wand", "hits", "linear",
+                            "noop_zero", "noop_all"])
+    p.add_argument("-k", type=int, default=10)
+    p.add_argument("--no-stem", action="store_true")
+    p.add_argument("query", nargs="+")
+    a = p.parse_args(argv)
+
+    from visigoth_spark.analysis import AnalyzerConfig, DEFAULT_ANALYZER
+    from visigoth_spark.query import SearchIndex
+
+    spark = _session("visigoth-query")
+    analyzer = (AnalyzerConfig(stem=False) if a.no_stem else DEFAULT_ANALYZER)
+    idx = SearchIndex(spark, a.index, analyzer=analyzer)
+    t0 = time.time()
+    rows = idx.search(" ".join(a.query), a.engine, a.k).collect()
+    dt = time.time() - t0
+    # wire shape ≙ the reference's result JSON {"doc": {...}, "hits": n}
+    # (search_result_easyjson.go:72-93), extended with the BM25 score
+    for r in rows:
+        print(json.dumps({"doc": {"id": r["url"]}, "hits": r["hits"],
+                          "score": r["score"]}))
+    print(f"# {len(rows)} results in {dt:.3f}s", file=sys.stderr)
+    return 0
+
+
+def cmd_inspect(argv: list[str]) -> int:
+    p = argparse.ArgumentParser(prog="cli inspect")
+    p.add_argument("--index", required=True)
+    a = p.parse_args(argv)
+    from visigoth_spark.build import load_stats
+
+    print(json.dumps(load_stats(a.index), indent=2))
+    return 0
+
+
+def main() -> int:
+    cmds = {"build": cmd_build, "query": cmd_query, "inspect": cmd_inspect}
+    if len(sys.argv) < 2 or sys.argv[1] not in cmds:
+        print(f"usage: cli.py {{{'|'.join(cmds)}}} ...", file=sys.stderr)
+        return 2
+    return cmds[sys.argv[1]](sys.argv[2:])
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -45,28 +45,45 @@ def tf_norm(tf, dl, avgdl: float):
 _THRESHOLDS = [np.uint64(1) << np.uint64(7 * i) for i in range(1, 10)]
 
 
+def _n_bytes(vals: np.ndarray) -> np.ndarray:
+    """Varbyte length per value: ceil(bit_length/7), min 1. Values below
+    2^49 (the overwhelming case: deltas, tfs, doclens) use one float64
+    exponent pass; only the rare huge values fall back to comparisons."""
+    nb = np.empty(len(vals), dtype=np.int64)
+    big = vals >= np.uint64(1) << np.uint64(49)
+    exp = np.frexp(vals.astype(np.float64))[1]  # bit_length for exact floats
+    np.maximum((exp + 6) // 7, 1, out=nb)
+    if big.any():
+        bv = vals[big]
+        nbig = np.ones(len(bv), dtype=np.int64)
+        for t in _THRESHOLDS:
+            nbig += bv >= t
+        nb[big] = nbig
+    return nb
+
+
 def vb_encode(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Varbyte-encode a uint64 array. Returns (bytes_u8, start_offsets_u4)
     where start_offsets[i] is the byte offset of value i."""
     vals = np.ascontiguousarray(vals, dtype=np.uint64)
-    nb = np.ones(len(vals), dtype=np.int64)
-    for t in _THRESHOLDS:
-        nb += vals >= t
+    if len(vals) == 0:
+        return np.zeros(0, dtype=np.uint8), np.zeros(0, dtype=np.uint32)
+    nb = _n_bytes(vals)
     offsets = np.zeros(len(vals) + 1, dtype=np.int64)
     np.cumsum(nb, out=offsets[1:])
+    if offsets[-1] == len(vals):
+        # pure 1-byte stream (common: small deltas/tfs) — no loop at all
+        return vals.astype(np.uint8), offsets[:-1].astype(np.uint32)
     out = np.zeros(offsets[-1], dtype=np.uint8)
-    pos = offsets[:-1].copy()
     rem = vals.copy()
-    for b in range(10):
-        active = nb > b
-        if not active.any():
-            break
-        idx = pos[active]
-        cont = (nb[active] - 1) > b
-        out[idx] = (rem[active] & np.uint64(0x7F)).astype(np.uint8) | (
-            cont.astype(np.uint8) << 7
-        )
-        pos[active] += 1
+    max_nb = int(nb.max())
+    starts = offsets[:-1]
+    for b in range(max_nb):
+        active = np.flatnonzero(nb > b)
+        cont = nb[active] > b + 1
+        out[starts[active] + b] = (
+            rem[active] & np.uint64(0x7F)
+        ).astype(np.uint8) | (cont.astype(np.uint8) << 7)
         rem >>= np.uint64(7)
     return out, offsets[:-1].astype(np.uint32)
 
@@ -137,6 +154,89 @@ def encode_segment(
         skips[i]["max_tf"] = tfs[lo:hi].max()
         skips[i]["min_dl"] = doclens[lo:hi].min()
     return blob, skips.tobytes()
+
+
+def encode_groups(
+    group_starts: np.ndarray,
+    docids: np.ndarray,
+    tfs: np.ndarray,
+    doclens: np.ndarray,
+    base: int = -1,
+) -> tuple[list[bytes], list[bytes]]:
+    """Encode MANY segments in one vectorized pass. ``group_starts`` are the
+    start indices of each group in the (group-sorted, docid-ascending within
+    group) arrays; groups tile the arrays contiguously. Returns per-group
+    (blob, skips) byte-identical to calling :func:`encode_segment` per group —
+    but the varbyte passes run ONCE over the concatenated arrays, so the
+    per-group Python cost is just slicing. This is what makes a per-corpus-
+    partition encode of ~10^4 term groups cheap inside one Spark task."""
+    n = len(docids)
+    docids = np.ascontiguousarray(docids, dtype=np.int64)
+    group_starts = np.ascontiguousarray(group_starts, dtype=np.int64)
+    g_ends = np.append(group_starts[1:], n)
+    is_start = np.zeros(n, dtype=bool)
+    is_start[group_starts] = True
+
+    deltas = np.empty(n, dtype=np.int64)
+    deltas[0] = docids[0] - base
+    deltas[1:] = np.diff(docids)
+    deltas[group_starts] = docids[group_starts] - base
+    assert (deltas > 0).all(), "docids must be strictly ascending per group"
+
+    ids_b, ids_off = vb_encode(deltas.astype(np.uint64))
+    tfs_b, tfs_off = vb_encode(np.ascontiguousarray(tfs, dtype=np.uint64))
+    dls_b, dls_off = vb_encode(np.ascontiguousarray(doclens, dtype=np.uint64))
+    ids_off = np.append(ids_off.astype(np.int64), len(ids_b))
+    tfs_off = np.append(tfs_off.astype(np.int64), len(tfs_b))
+    dls_off = np.append(dls_off.astype(np.int64), len(dls_b))
+    ids_bytes = ids_b.tobytes()
+    tfs_bytes = tfs_b.tobytes()
+    dls_bytes = dls_b.tobytes()
+
+    n_groups = len(group_starts)
+    g_lens = g_ends - group_starts
+    headers = np.zeros(n_groups, dtype=_HEADER)
+    headers["n"] = g_lens
+    headers["off_tfs"] = ids_off[g_ends] - ids_off[group_starts]
+    headers["off_dls"] = headers["off_tfs"] + (
+        tfs_off[g_ends] - tfs_off[group_starts]
+    )
+    header_bytes = headers.tobytes()
+
+    # ---- block/skip metadata, vectorized across ALL groups -----------------
+    n_blocks_g = (g_lens + BLOCK_SIZE - 1) // BLOCK_SIZE
+    total_blocks = int(n_blocks_g.sum())
+    blk_group = np.repeat(np.arange(n_groups), n_blocks_g)
+    blk_cum = np.zeros(n_groups + 1, dtype=np.int64)
+    np.cumsum(n_blocks_g, out=blk_cum[1:])
+    blk_ord = np.arange(total_blocks) - blk_cum[blk_group]
+    blk_start = group_starts[blk_group] + blk_ord * BLOCK_SIZE
+    blk_end = np.minimum(blk_start + BLOCK_SIZE, g_ends[blk_group])
+    skips = np.zeros(total_blocks, dtype=SKIP_DTYPE)
+    skips["last_docid"] = docids[blk_end - 1]
+    skips["off_ids"] = ids_off[blk_start] - ids_off[group_starts[blk_group]]
+    skips["off_tfs"] = tfs_off[blk_start] - tfs_off[group_starts[blk_group]]
+    skips["off_dls"] = dls_off[blk_start] - dls_off[group_starts[blk_group]]
+    skips["n"] = blk_end - blk_start
+    # blocks tile the arrays contiguously, so reduceat over block starts is a
+    # global segmented max/min
+    skips["max_tf"] = np.maximum.reduceat(tfs, blk_start)
+    skips["min_dl"] = np.minimum.reduceat(doclens, blk_start)
+    skips_bytes = skips.tobytes()
+    SK = SKIP_DTYPE.itemsize
+
+    blobs: list[bytes] = []
+    skips_out: list[bytes] = []
+    for g in range(n_groups):
+        s, e = group_starts[g], g_ends[g]
+        blobs.append(
+            header_bytes[g * 16:(g + 1) * 16]
+            + ids_bytes[ids_off[s]:ids_off[e]]
+            + tfs_bytes[tfs_off[s]:tfs_off[e]]
+            + dls_bytes[dls_off[s]:dls_off[e]]
+        )
+        skips_out.append(skips_bytes[blk_cum[g] * SK:blk_cum[g + 1] * SK])
+    return blobs, skips_out
 
 
 def decode_segment(

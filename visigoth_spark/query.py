@@ -33,7 +33,14 @@ from pyspark.sql import functions as F
 
 from visigoth_spark.analysis import AnalyzerConfig, DEFAULT_ANALYZER, analyze_text
 from visigoth_spark.build import load_stats
-from visigoth_spark.codec import BM25_B, BM25_K1, decode_segment, tf_norm
+from visigoth_spark.codec import (
+    BM25_B,
+    BM25_K1,
+    decode_block,
+    decode_segment,
+    decode_skips,
+    tf_norm,
+)
 
 RESULT_KERNEL_SCHEMA = "docid long, score double, hits int"
 
@@ -51,14 +58,23 @@ class SearchIndex:
 
     def __init__(self, spark: SparkSession, index_dir: str,
                  analyzer: AnalyzerConfig = DEFAULT_ANALYZER):
+        import visigoth_spark
+
+        visigoth_spark.ensure_shipped(spark)
         self.spark = spark
         self.index_dir = index_dir
         self.analyzer = analyzer
         self.stats = load_stats(index_dir)
-        self._postings = spark.read.option(
-            "basePath", f"{index_dir}/postings"
-        ).parquet(f"{index_dir}/postings")
-        self._docmap = spark.read.parquet(f"{index_dir}/docmap")
+        data_root = f"{index_dir}/data"
+        data = spark.read.option("basePath", data_root).parquet(data_root)
+        # kind is a partition directory -> these filters prune whole files
+        self._postings = data.filter(F.col("kind") == "s").select(
+            "term", "bucket", "df_seg", "sum_tf", "min_docid", "max_docid",
+            "blob", "skips",
+        )
+        self._docmap = data.filter(F.col("kind") == "d").select(
+            "docid", "url", "doclen"
+        )
 
     # ---- Indexer primitives (B3-B5) ---------------------------------------
     def __len__(self) -> int:
@@ -137,7 +153,7 @@ class SearchIndex:
             "term", "bucket", "min_docid", "blob", "skips"
         )
         kernel = _make_kernel(engine, terms, multiplicity, idf, avgdl,
-                              threshold=len(tokens), k=k)
+                              threshold=len(tokens), k=k, dfs=dfs)
         local = seg.groupBy("bucket").applyInPandas(kernel, RESULT_KERNEL_SCHEMA)
 
         if engine == "hits":
@@ -201,13 +217,133 @@ def _gallop_intersect(lists: list[np.ndarray]) -> np.ndarray:
     return cand
 
 
+def _decode_term_blocks_for(
+    pdf: pd.DataFrame, term: str, cand: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Skip-pointer decode: materialize ONLY the blocks of ``term``'s posting
+    segments that can contain a candidate docid. Returns (docids, tfs, dls,
+    blk_max_tf, blk_min_dl) where the blk_* arrays are the block-max metadata
+    of the block each decoded posting came from. For an AND query driven from
+    the rarest term this touches O(|cand|) blocks of a head term's list
+    instead of decoding it wholesale — the vectorized analogue of the
+    two-pointer-with-skips walk (the reference's plain two-pointer kernel is
+    search_linear_search.go:12-31)."""
+    rows = pdf[pdf["term"] == term].sort_values("min_docid")
+    ids_p, tfs_p, dls_p, bmx_p, bmn_p = [], [], [], [], []
+    for blob, skips_b in zip(rows["blob"], rows["skips"]):
+        skips = decode_skips(bytes(skips_b))
+        if len(skips) == 0:
+            continue
+        # block index that could contain each candidate
+        blk_of = np.searchsorted(skips["last_docid"], cand)
+        blk_idx = np.unique(blk_of[blk_of < len(skips)])
+        if len(blk_idx) == 0:
+            continue
+        blob_b = bytes(blob)
+        for bi in blk_idx:
+            d, t, l = decode_block(blob_b, skips, int(bi))
+            ids_p.append(d)
+            tfs_p.append(t)
+            dls_p.append(l)
+            bmx_p.append(np.full(len(d), skips["max_tf"][bi], dtype=np.int64))
+            bmn_p.append(np.full(len(d), skips["min_dl"][bi], dtype=np.int64))
+    if not ids_p:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z.copy(), z.copy(), z.copy(), z.copy()
+    return (np.concatenate(ids_p), np.concatenate(tfs_p),
+            np.concatenate(dls_p), np.concatenate(bmx_p),
+            np.concatenate(bmn_p))
+
+
+def _wand_kernel_body(pdf: pd.DataFrame, terms: list[str],
+                      dfs: dict[str, int], idf: dict[str, float],
+                      avgdl: float, k: int | None) -> pd.DataFrame:
+    """Block-max AND retrieval for one bucket:
+
+    1. fully decode the RAREST term's segments -> initial candidates;
+    2. for every other term (ascending df) decode only candidate-covering
+       blocks via skip pointers, intersect;
+    3. compute per-candidate upper-bound scores from block-max metadata
+       (monotone bound: tf_norm is increasing in tf, decreasing in dl, so
+       norm(block_max_tf, block_min_dl) >= norm(tf, dl) for every posting
+       in the block);
+    4. exact-score only candidates whose upper bound reaches the running
+       top-k threshold theta (theta = k-th exact score of the top-k-by-UB
+       seed set). Exact top-k per bucket, bit-identical to the exhaustive
+       engine (terms summed in sorted order).
+    """
+    order = sorted(terms, key=lambda t: (dfs[t], t))
+    ids0, tfs0, dls0 = _decode_term_segments(pdf, order[0])
+    if len(ids0) == 0:
+        return _EMPTY
+    cand = ids0
+    per_term: dict[str, tuple] = {order[0]: (ids0, tfs0, dls0, None, None)}
+    for t in order[1:]:
+        ids, tfs, dls, bmx, bmn = _decode_term_blocks_for(pdf, t, cand)
+        if len(ids) == 0:
+            return _EMPTY
+        per_term[t] = (ids, tfs, dls, bmx, bmn)
+        pos = np.searchsorted(ids, cand)
+        pos = np.minimum(pos, len(ids) - 1)
+        cand = cand[ids[pos] == cand]
+        if len(cand) == 0:
+            return _EMPTY
+
+    # exact tf/dl (and block UB stats) aligned to the candidate set
+    tf_c: dict[str, np.ndarray] = {}
+    dl_c: dict[str, np.ndarray] = {}
+    ub = np.zeros(len(cand), dtype=np.float64)
+    for t in order:
+        ids, tfs, dls, bmx, bmn = per_term[t]
+        pos = np.searchsorted(ids, cand)
+        tf_c[t] = tfs[pos].astype(np.float64)
+        dl_c[t] = dls[pos].astype(np.float64)
+        if bmx is None:  # rarest term: exact values are its own bound
+            btf, bdl = tf_c[t], dl_c[t]
+        else:
+            btf, bdl = bmx[pos].astype(np.float64), bmn[pos].astype(np.float64)
+        ub += idf[t] * (BM25_K1 + 1.0) * tf_norm(btf, bdl, avgdl)
+
+    def exact(sel: np.ndarray) -> np.ndarray:
+        s = np.zeros(sel.sum() if sel.dtype == bool else len(sel),
+                     dtype=np.float64)
+        for t in sorted(terms):  # sorted-term summation: float determinism
+            tf = tf_c[t][sel]
+            dl = dl_c[t][sel]
+            s += idf[t] * (tf * (BM25_K1 + 1.0)) / (
+                tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl)
+            )
+        return s
+
+    if k is None or len(cand) <= k:
+        score = exact(np.arange(len(cand)))
+        keep = np.arange(len(cand))
+    else:
+        # seed: top-k by upper bound, scored exactly -> threshold theta
+        seed = np.argpartition(-ub, k - 1)[:k]
+        seed_scores = exact(seed)
+        theta = seed_scores.min()
+        # survivors: anything whose UB reaches theta (includes the seed)
+        surv = np.flatnonzero(ub >= theta)
+        score_s = exact(surv)
+        order_idx = np.lexsort((cand[surv], -score_s))[:k]
+        keep = surv[order_idx]
+        score = score_s[order_idx]
+    return pd.DataFrame(
+        {"docid": cand[keep], "score": score,
+         "hits": np.full(len(keep), len(terms), dtype=np.int32)}
+    )
+
+
 def _make_kernel(engine: str, terms: list[str], multiplicity: dict[str, int],
                  idf: dict[str, float], avgdl: float, threshold: int,
-                 k: int | None):
+                 k: int | None, dfs: dict[str, int] | None = None):
     """Build the per-bucket applyInPandas kernel. All state is captured by
     value (broadcast with the task closure — a few floats per query term)."""
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        if engine == "bm25_wand":
+            return _wand_kernel_body(pdf, terms, dfs or {}, idf, avgdl, k)
         decoded = {t: _decode_term_segments(pdf, t) for t in terms}
 
         if engine == "hits":
