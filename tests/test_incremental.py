@@ -1,0 +1,115 @@
+"""Incremental ingest (append_index ≙ MemoryIndex.Put's append semantics,
+index_memory_index.go:44-60) and Structured Streaming indexing."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from visigoth_spark.build import append_index, build_index, load_stats
+from visigoth_spark.corpus import generate_corpus
+from visigoth_spark.query import SearchIndex
+from visigoth_spark.reference_engine import OracleIndex
+
+
+def _df(spark, pdf):
+    return spark.createDataFrame(pdf[["url", "text", "lang"]])
+
+
+@pytest.fixture(scope="module")
+def split_corpus():
+    pdf = generate_corpus(240)
+    # ingest order: first 160 urls, then the remaining 80 (disjoint)
+    s = pdf.sort_values("url").reset_index(drop=True)
+    return s.iloc[:160], s.iloc[160:]
+
+
+class TestAppend:
+    def test_append_matches_oracle_insertion_order(self, spark, tmp_path,
+                                                   split_corpus):
+        part1, part2 = split_corpus
+        out = str(tmp_path / "idx")
+        build_index(spark, _df(spark, part1), out, num_partitions=3)
+        m = append_index(spark, _df(spark, part2), out, num_partitions=2)
+        assert m.n_docs == 240
+
+        oracle = OracleIndex()
+        for part in (part1, part2):
+            for r in part.sort_values("url").itertuples():
+                oracle.put(r.url, r.text)
+
+        idx = SearchIndex(spark, out)
+        stats = load_stats(out)
+        assert stats["n_docs"] == 240
+        assert stats["total_tokens"] == sum(oracle.doclens)
+        assert stats["avgdl"] == pytest.approx(oracle.avgdl())
+
+        for q in ["curso", "programación java", "java java"]:
+            got = [(r["url"], r["score"])
+                   for r in idx.search(q, "bm25", k=10).collect()]
+            exp = oracle.bm25_search(q, k=10)
+            assert [u for u, _ in got] == [u for u, _ in exp], q
+            for (u1, s1), (u2, s2) in zip(got, exp):
+                assert s1 == pytest.approx(s2, abs=1e-12), (q, u1)
+
+    def test_append_docids_continue(self, spark, tmp_path, split_corpus):
+        part1, part2 = split_corpus
+        out = str(tmp_path / "idx2")
+        build_index(spark, _df(spark, part1), out, num_partitions=3)
+        append_index(spark, _df(spark, part2), out, num_partitions=2)
+        idx = SearchIndex(spark, out)
+        rows = idx._docmap.orderBy("docid").collect()
+        assert [r["docid"] for r in rows] == list(range(240))
+        # per-batch url order: batch 1 = first 160 urls, batch 2 = the rest
+        urls = [r["url"] for r in rows]
+        assert urls[:160] == sorted(urls[:160])
+        assert urls[160:] == sorted(urls[160:])
+
+    def test_append_to_empty_dir_builds(self, spark, tmp_path, split_corpus):
+        part1, _ = split_corpus
+        out = str(tmp_path / "idx3")
+        append_index(spark, _df(spark, part1), out, num_partitions=2)
+        assert load_stats(out)["n_docs"] == 160
+
+
+class TestStreaming:
+    def test_stream_drains_and_matches_batch_build(self, spark, tmp_path,
+                                                   split_corpus):
+        from visigoth_spark.streaming import stream_index
+
+        part1, part2 = split_corpus
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        # two source files appear before the stream starts; availableNow
+        # drains them (order of file pickup = one or two micro-batches)
+        _df(spark, part1).coalesce(1).write.mode("append").parquet(src)
+        _df(spark, part2).coalesce(1).write.mode("append").parquet(src)
+
+        out = str(tmp_path / "sidx")
+        stream_index(spark, src, out, str(tmp_path / "ckpt"),
+                     num_partitions=2)
+
+        idx = SearchIndex(spark, out)
+        stats = load_stats(out)
+        assert stats["n_docs"] == 240
+
+        oracle = OracleIndex()
+        pdf = generate_corpus(240).sort_values("url")
+        for r in pdf.itertuples():
+            oracle.put(r.url, r.text)
+        got = [r["url"] for r in idx.search("curso java", "bm25", 10).collect()]
+        exp = [u for u, _ in oracle.bm25_search("curso java", k=10)]
+        # ranking identical iff scores unique; scores are global-stat exact
+        assert got == exp
+
+    def test_epoch_replay_is_idempotent(self, spark, tmp_path, split_corpus):
+        from visigoth_spark.streaming import foreach_batch_indexer
+
+        part1, _ = split_corpus
+        out = str(tmp_path / "ridx")
+        fn = foreach_batch_indexer(out, num_partitions=2)
+        fn(_df(spark, part1), epoch_id=0)
+        n1 = load_stats(out)["n_docs"]
+        fn(_df(spark, part1), epoch_id=0)  # replay same epoch
+        assert load_stats(out)["n_docs"] == n1 == 160

@@ -181,7 +181,7 @@ def _doc_frame(docids: np.ndarray, urls: np.ndarray, lens: np.ndarray,
 
 
 def _fused_generator(offsets: dict[int, int], analyzer: AnalyzerConfig,
-                     flush_docs: int = 500_000):
+                     flush_docs: int = 500_000, bucket_base: int = 0):
     """mapInPandas fn: the whole per-partition build. Emits docmap rows as
     input batches stream through, accumulates (term, docid, tf, doclen)
     pairs, and encodes all of the partition's segments in one vectorized
@@ -193,6 +193,7 @@ def _fused_generator(offsets: dict[int, int], analyzer: AnalyzerConfig,
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
+        bucket = pid + bucket_base
         next_id = offsets.get(pid, 0)
         acc: list[pd.DataFrame] = []
         acc_docs = 0
@@ -205,7 +206,7 @@ def _fused_generator(offsets: dict[int, int], analyzer: AnalyzerConfig,
                      if len(acc) > 1 else acc[0])
             acc = []
             acc_docs = 0
-            return _seg_frame(pairs, pid)
+            return _seg_frame(pairs, bucket)
 
         for pdf in iterator:
             n = len(pdf)
@@ -216,7 +217,7 @@ def _fused_generator(offsets: dict[int, int], analyzer: AnalyzerConfig,
             docids = np.arange(next_id, next_id + n, dtype=np.int64)
             next_id += n
             yield _doc_frame(docids, pdf["url"].to_numpy(dtype=object),
-                             lens, pid)
+                             lens, bucket)
             nz = lens > 0
             if not nz.any():
                 continue
@@ -354,8 +355,15 @@ def build_index(
             fused = part.mapInPandas(
                 _fused_generator(offsets, analyzer, flush_docs), OUT_SCHEMA
             )
-            fused.write.mode("overwrite").partitionBy("kind").parquet(
-                batch_path
+            # small row groups: segment files are term-sorted and docmap
+            # files docid-sorted, so 4 MB row groups turn query-term and
+            # docid filters into row-group-level scan pruning (the parquet
+            # analogue of the term-dictionary seek)
+            (
+                fused.write.mode("overwrite")
+                .option("parquet.block.size", str(4 * 1024 * 1024))
+                .partitionBy("kind")
+                .parquet(batch_path)
             )
             tick(f"batch {bi}", tmark)
             # lineage + metrics from the written segment metadata (exact,
@@ -386,6 +394,33 @@ def build_index(
                 bytes_blob=int(seg_meta["bytes_blob"] or 0),
                 wall_sec=time.time() - tb,
             )
+
+        # ---- term dictionary: term -> (df, sum_tf) --------------------------
+        # one aggregation over segment METADATA columns (no blobs touched);
+        # term-sorted with small row groups so the query coordinator resolves
+        # df/idf with a driver-side pruned read instead of a Spark job per
+        # query (the Lucene term-dictionary-seek analogue).
+        td_path = os.path.join(out_dir, "termdict")
+        td_manifest = os.path.join(manifest_dir, "termdict.json")
+        if not (resume and _is_complete(td_manifest, td_path)):
+            seg_all = (
+                spark.read.option("basePath", data_root).parquet(data_root)
+                .filter(F.col("kind") == "s")
+            )
+            n_td = max(1, min(32, P // 4))
+            (
+                seg_all.groupBy("term")
+                .agg(F.sum("df_seg").alias("df"),
+                     F.sum("sum_tf").alias("sum_tf"))
+                .repartitionByRange(n_td, "term")
+                .sortWithinPartitions("term")
+                .write.mode("overwrite")
+                .option("parquet.block.size", str(1 << 20))
+                .parquet(td_path)
+            )
+            _write_manifest(td_manifest, kind="termdict",
+                            wall_sec=time.time() - tmark[0])
+            tick("termdict", tmark)
 
         # ---- aggregate stats from manifests (cheap, exact) ------------------
         total_tokens = n_postings = n_segments = bytes_blob = 0
@@ -434,6 +469,136 @@ def build_index(
             spark.conf.set("spark.sql.files.maxPartitionBytes", saved_mpb)
         if persisted:
             src.unpersist()
+
+
+def append_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    out_dir: str,
+    analyzer: AnalyzerConfig = DEFAULT_ANALYZER,
+    num_partitions: int | None = None,
+    flush_docs: int = 500_000,
+) -> BuildMetrics:
+    """Incrementally ingest ``corpus`` into an EXISTING index (or create it).
+
+    ≙ the reference's incremental ``MemoryIndex.Put``
+    (index_memory_index.go:44-60): new documents get docids continuing after
+    the current max — insertion order, exactly the reference's append-time id
+    assignment. The new docs land in a fresh batch dir with fresh bucket ids
+    (disjoint from every existing bucket), so query-time per-bucket kernels
+    and cross-batch segment concatenation keep working unchanged.
+
+    Ordering note: WITHIN each appended batch docids follow url order; ACROSS
+    batches they follow ingest order (the reference's semantics). The batch
+    build's global docid≡url equivalence therefore holds per batch, and
+    exact-score ranking is unaffected (BM25 stats are global).
+    """
+    t0 = time.time()
+    import visigoth_spark
+
+    visigoth_spark.ensure_shipped(spark)
+    if not os.path.exists(os.path.join(out_dir, "stats.json")):
+        return build_index(spark, corpus, out_dir, analyzer=analyzer,
+                           num_partitions=num_partitions,
+                           flush_docs=flush_docs)
+    stats = load_stats(out_dir)
+    base_docid = stats["n_docs"]
+    bucket_base = stats["n_buckets"]
+    manifest_dir = os.path.join(out_dir, "_manifests")
+    existing = [f for f in os.listdir(manifest_dir)
+                if f.startswith("batch_") and f.endswith(".json")]
+    next_batch = 1 + max(int(f[6:-5]) for f in existing)
+
+    P = num_partitions or spark.sparkContext.defaultParallelism * 2
+    src = _ranged_corpus(corpus, P).persist()
+    try:
+        offsets = _partition_offsets(src)
+        n_new = offsets.pop(-1)
+        if n_new == 0:
+            return BuildMetrics(n_docs=base_docid)
+        offsets = {pid: off + base_docid for pid, off in offsets.items()}
+        P = len(offsets)
+
+        batch_path = os.path.join(out_dir, "data", f"batch={next_batch}")
+        fused = src.mapInPandas(
+            _fused_generator(offsets, analyzer, flush_docs, bucket_base),
+            OUT_SCHEMA,
+        )
+        (
+            fused.write.mode("overwrite")
+            .option("parquet.block.size", str(4 * 1024 * 1024))
+            .partitionBy("kind")
+            .parquet(batch_path)
+        )
+        seg_meta = (
+            spark.read.option("basePath", batch_path)
+            .parquet(os.path.join(batch_path, "kind=s"))
+            .agg(
+                F.count("*").alias("n_segments"),
+                F.sum("df_seg").alias("n_postings"),
+                F.sum("sum_tf").alias("total_tokens"),
+                F.sum(F.length("blob")).alias("bytes_blob"),
+            ).collect()[0]
+        )
+        _write_manifest(
+            os.path.join(manifest_dir, f"batch_{next_batch}.json"),
+            kind="batch", batch=next_batch, appended=True,
+            partitions=sorted(offsets),
+            docid_range=[base_docid, base_docid + n_new],
+            n_docs=n_new,
+            n_segments=int(seg_meta["n_segments"] or 0),
+            n_postings=int(seg_meta["n_postings"] or 0),
+            total_tokens=int(seg_meta["total_tokens"] or 0),
+            bytes_blob=int(seg_meta["bytes_blob"] or 0),
+            wall_sec=time.time() - t0,
+        )
+
+        # refresh the term dictionary (global df/sum_tf changed)
+        data_root = os.path.join(out_dir, "data")
+        td_path = os.path.join(out_dir, "termdict")
+        seg_all = (
+            spark.read.option("basePath", data_root).parquet(data_root)
+            .filter(F.col("kind") == "s")
+        )
+        n_td = max(1, min(32, (bucket_base + P) // 4))
+        (
+            seg_all.groupBy("term")
+            .agg(F.sum("df_seg").alias("df"), F.sum("sum_tf").alias("sum_tf"))
+            .repartitionByRange(n_td, "term")
+            .sortWithinPartitions("term")
+            .write.mode("overwrite")
+            .option("parquet.block.size", str(1 << 20))
+            .parquet(td_path)
+        )
+        _write_manifest(os.path.join(manifest_dir, "termdict.json"),
+                        kind="termdict", wall_sec=time.time() - t0)
+
+        new_tokens = int(seg_meta["total_tokens"] or 0)
+        stats["n_docs"] = base_docid + n_new
+        stats["total_tokens"] += new_tokens
+        stats["avgdl"] = stats["total_tokens"] / stats["n_docs"]
+        stats["n_postings"] += int(seg_meta["n_postings"] or 0)
+        stats["n_segments"] += int(seg_meta["n_segments"] or 0)
+        stats["bytes_blob"] += int(seg_meta["bytes_blob"] or 0)
+        part_sizes = [offsets[p] for p in sorted(offsets)]
+        widths = [b - a for a, b in zip(part_sizes, part_sizes[1:])]
+        widths.append(base_docid + n_new - part_sizes[-1])
+        stats["bucket_width"] = max(stats["bucket_width"], *widths)
+        stats["n_buckets"] = bucket_base + P
+        stats["n_batches"] = next_batch + 1
+        stats["built_at_sec"] = time.time()
+        with open(os.path.join(out_dir, "stats.json"), "w") as f:
+            json.dump(stats, f, indent=2)
+        return BuildMetrics(
+            n_docs=stats["n_docs"],
+            n_postings=int(seg_meta["n_postings"] or 0),
+            n_segments=int(seg_meta["n_segments"] or 0),
+            bytes_blob=int(seg_meta["bytes_blob"] or 0),
+            total_tokens=new_tokens,
+            wall_sec=time.time() - t0,
+        )
+    finally:
+        src.unpersist()
 
 
 def _write_manifest(path: str, **kv) -> None:

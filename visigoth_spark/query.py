@@ -24,6 +24,7 @@ sorted-term order -> bit-identical float64 scores vs the oracle.
 from __future__ import annotations
 
 import math
+import os
 from typing import Iterator
 
 import numpy as np
@@ -76,23 +77,77 @@ class SearchIndex:
             "docid", "url", "doclen"
         )
 
+    def cache(self) -> "SearchIndex":
+        """Pin the postings + docmap in executor memory (the warm-index
+        serving mode: on a cluster this is what OS page cache / an in-memory
+        layer gives a long-running query service). Materializes both."""
+        self._postings = self._postings.persist()
+        self._docmap = self._docmap.persist()
+        self._postings.count()
+        self._docmap.count()
+        return self
+
     # ---- Indexer primitives (B3-B5) ---------------------------------------
     def __len__(self) -> int:
         return self.stats["n_docs"]
 
     def term_df(self, terms: list[str]) -> dict[str, int]:
-        """df per term — a pruned metadata scan (no blob decode)."""
+        """df per term. Fast path: driver-side pruned read of the term-sorted
+        termdict parquet (row-group stats skip everything outside the query
+        terms) — a term-dictionary seek, no Spark job. Falls back to a Spark
+        metadata scan for indexes built without a termdict or on non-local
+        storage."""
         if not terms:
             return {}
+        out = {t: 0 for t in terms}
+        td = os.path.join(self.index_dir, "termdict")
+        if os.path.isdir(td):
+            try:
+                import pyarrow.dataset as ds
+
+                tbl = ds.dataset(td, format="parquet").to_table(
+                    columns=["term", "df"],
+                    filter=ds.field("term").isin(terms),
+                )
+                for t, d in zip(tbl["term"].to_pylist(), tbl["df"].to_pylist()):
+                    out[t] = int(d)
+                return out
+            except Exception:
+                pass
         rows = (
             self._postings.filter(F.col("term").isin(terms))
             .groupBy("term")
             .agg(F.sum("df_seg").alias("df"))
             .collect()
         )
-        out = {t: 0 for t in terms}
         out.update({r["term"]: r["df"] for r in rows})
         return out
+
+    def _urls_for(self, ids: list[int]) -> dict[int, str]:
+        """docid -> url point lookup. Driver-side pruned read of the
+        docid-sorted docmap files (row-group stats make this touch only the
+        row groups covering the ids); Spark fallback otherwise."""
+        try:
+            import pyarrow.dataset as ds
+
+            data = ds.dataset(
+                os.path.join(self.index_dir, "data"), format="parquet",
+                partitioning="hive",
+            )
+            tbl = data.to_table(
+                columns=["docid", "url"],
+                filter=(ds.field("kind") == "d") & ds.field("docid").isin(ids),
+            )
+            got = dict(zip(tbl["docid"].to_pylist(), tbl["url"].to_pylist()))
+            if len(got) == len(set(ids)):
+                return got
+        except Exception:
+            pass
+        return {
+            r["docid"]: r["url"]
+            for r in self._docmap.filter(F.col("docid").isin(ids))
+            .select("docid", "url").collect()
+        }
 
     def indexed(self, term: str) -> np.ndarray:
         """Posting-list lookup (≙ MemoryIndex.Indexed) — decoded docids."""
@@ -163,8 +218,24 @@ class SearchIndex:
         else:
             ordered = local.orderBy(F.desc("score"), F.asc("docid"))
         if k is not None:
-            ordered = ordered.limit(k)
-        # hydrate urls: the (small) result side is broadcast into the docmap
+            # top-k path: collect the (tiny) ranked ids, then hydrate with a
+            # docid-pruned docmap scan — docmap files are docid-sorted with
+            # small row groups, so the isin filter prunes at row-group level
+            # (two short jobs instead of one join over the whole docmap)
+            top = ordered.limit(k).collect()
+            if not top:
+                return self._empty_result()
+            ids = [int(r["docid"]) for r in top]
+            url_of = self._urls_for(ids)
+            # docids are dense in url order, so the engine order on docid is
+            # already the (score DESC, url ASC) contract
+            return self.spark.createDataFrame(
+                [(url_of[r["docid"]], r["docid"], float(r["score"]),
+                  int(r["hits"])) for r in top],
+                "url string, docid long, score double, hits int",
+            )
+        # unbounded result (k=None): stay fully distributed — broadcast the
+        # ranked ids into the docmap join
         return (
             self._docmap.join(F.broadcast(ordered), "docid")
             .select("url", "docid", "score", "hits")
