@@ -154,6 +154,45 @@ class TestNoops:
         assert got == oracle.noop_all("anything")
 
 
+class TestHeadTermSkew:
+    """north_rule: head-term skew handled explicitly. Here the handling is
+    structural — bucket == corpus partition, so a term occurring in EVERY
+    document is split across all buckets and no task/group ever holds more
+    than one partition's postings for it. No salted shuffle exists because
+    no shuffle exists."""
+
+    def test_omnipresent_term_is_bounded_and_correct(self, spark, tmp_path):
+        from visigoth_spark.build import build_index, load_stats
+        from visigoth_spark.query import SearchIndex
+        from visigoth_spark.reference_engine import OracleIndex
+
+        pdf = generate_corpus(400)
+        pdf["text"] = pdf["text"] + "\nomnipresente omnipresente"
+        corpus = spark.createDataFrame(pdf[["url", "text", "lang"]])
+        out = str(tmp_path / "skew")
+        build_index(spark, corpus, out, num_partitions=4)
+        idx = SearchIndex(spark, out)
+        stats = load_stats(out)
+
+        seg = idx._postings.filter("term = 'omnipresent'")  # stemmed form
+        rows = seg.select("bucket", "df_seg").collect()
+        # present in every doc -> one segment per bucket, each bounded by
+        # the structural per-partition doc count
+        assert len(rows) == stats["n_buckets"]
+        assert sum(r["df_seg"] for r in rows) == 400
+        assert max(r["df_seg"] for r in rows) <= stats["bucket_width"]
+
+        oracle = OracleIndex()
+        for r in pdf.sort_values("url").itertuples():
+            oracle.put(r.url, r.text)
+        got = [(r["url"], r["score"])
+               for r in idx.search("omnipresente java", "bm25", 10).collect()]
+        exp = oracle.bm25_search("omnipresente java", k=10)
+        assert [u for u, _ in got] == [u for u, _ in exp]
+        for (u1, s1), (u2, s2) in zip(got, exp):
+            assert s1 == pytest.approx(s2, abs=1e-12)
+
+
 class TestResume:
     def test_resume_skips_completed_batches(self, spark, tmp_path):
         corpus_pd = generate_corpus(120)

@@ -447,6 +447,71 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.cosine_topk(emb, list(qvec), k=10)
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN (the scale path for brute-force cosine): assign
+    vectors to deterministic centroids, probe the query's nearest quarter of
+    the cells, exact-score within. Oracle SQL reproduces the identical
+    centroids as literals (pipeline.ivf_centroids is md5-derived and
+    dimension-only), so results match exactly — including the recall loss."""
+    emb = _emb(spark, sf_dir)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return P.ivf_topk(emb, list(qvec), k=10)
+
+
+def _sql_ann_ivf(n_cells: int = 16, dims: int = 64) -> str:
+    import numpy as np
+
+    from visigoth_spark.pipeline import ivf_centroids
+
+    cents = ivf_centroids(n_cells, dims)
+    # the probe set depends on the query vector (vec_id=0), which the SQL
+    # can compute itself: rank cells by cosine(query, centroid), keep the
+    # nearest quarter — same rule as pipeline.ivf_topk
+    cent_rows = ",\n        ".join(
+        "({}, [{}])".format(c, ", ".join(f"{x!r}" for x in cents[c]))
+        for c in range(n_cells)
+    )
+    n_probe = max(1, n_cells // 4)
+    return f"""
+WITH cents(cell, cv) AS (VALUES
+        {cent_rows}
+),
+e AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+assigned AS (
+    SELECT vec_id, v,
+           (SELECT cell FROM cents
+            ORDER BY list_dot_product(v, cv)
+                     / (SQRT(list_dot_product(v, v))
+                        * SQRT(list_dot_product(cv, cv))) DESC, cell ASC
+            LIMIT 1) AS cell
+    FROM e
+),
+probe AS (
+    SELECT cell FROM cents, q
+    ORDER BY list_dot_product(qv, cv)
+             / (SQRT(list_dot_product(qv, qv))
+                * SQRT(list_dot_product(cv, cv))) DESC, cell ASC
+    LIMIT {n_probe}
+)
+SELECT vec_id, sim FROM (
+    SELECT a.vec_id,
+           ROUND(list_dot_product(a.v, q.qv)
+                 / (SQRT(list_dot_product(a.v, a.v))
+                    * SQRT(list_dot_product(q.qv, q.qv))), 6) AS sim
+    FROM assigned a, q
+    WHERE a.cell IN (SELECT cell FROM probe)
+)
+ORDER BY sim DESC, vec_id ASC LIMIT 10
+"""
+
+
+SQL_ANN_IVF = _sql_ann_ivf()
+
+
 SQL_ANN_COSINE = """
 WITH q AS (
     SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
@@ -464,6 +529,35 @@ SELECT vec_id, sim FROM (
     FROM embeddings e, q
 )
 ORDER BY sim DESC, vec_id ASC LIMIT 10
+"""
+
+
+def q_multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing (multimodal.py): payload = utf-8 bytes of the
+    doc text (the sandbox's stand-in for an image blob), typed metadata via
+    the deterministic stub decoder inside a vectorized mapInPandas. The
+    oracle derives the identical md5-based numbers in SQL, so the whole
+    binary->Arrow->pandas->typed-row path is value-checked."""
+    from visigoth_spark import multimodal as M
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return M.image_meta(docs, bin_col="payload")
+
+
+SQL_MULTIMODAL_META = """
+WITH h AS (SELECT doc_id, md5(text) AS h FROM documents)
+SELECT doc_id,
+       CAST(16 + CAST('0x' || substr(h, 1, 4) AS INTEGER) % 1024 AS INTEGER)
+           AS width,
+       CAST(16 + CAST('0x' || substr(h, 5, 4) AS INTEGER) % 1024 AS INTEGER)
+           AS height,
+       CAST(1 + CAST('0x' || substr(h, 9, 1) AS INTEGER) % 4 AS INTEGER)
+           AS channels,
+       ROUND(CAST('0x' || substr(h, 10, 4) AS INTEGER) / 65535.0, 6)
+           AS brightness
+FROM h
 """
 
 
@@ -488,6 +582,8 @@ QUERIES = {
     "token_count": q_token_count,
     "doc_fingerprint": q_doc_fingerprint,
     "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "multimodal_image_meta": q_multimodal_image_meta,
 }
 
 ORACLES = {
@@ -507,4 +603,6 @@ ORACLES = {
     "token_count": SQL_TOKEN_COUNT,
     "doc_fingerprint": SQL_FINGERPRINT,
     "ann_cosine_topk": SQL_ANN_COSINE,
+    "ann_ivf_topk": SQL_ANN_IVF,
+    "multimodal_image_meta": SQL_MULTIMODAL_META,
 }

@@ -239,6 +239,22 @@ def cosine_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
     )
 
 
+def ivf_centroids(n_cells: int, dims: int) -> list[list[float]]:
+    """Deterministic md5-derived pseudo-random centroids in [-1, 1]^dims.
+    Shared by ivf_topk and the harness oracle SQL (which embeds them as
+    literals) so both sides bucket identically."""
+    import hashlib
+
+    return [
+        [
+            (int(hashlib.md5(f"{c}:{d}".encode()).hexdigest()[:8], 16)
+             / 0xFFFFFFFF) * 2.0 - 1.0
+            for d in range(dims)
+        ]
+        for c in range(n_cells)
+    ]
+
+
 def ivf_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
              n_probe_ids: int | None = None, n_cells: int = 16,
              id_col: str = "vec_id", vec_col: str = "embedding"
@@ -252,17 +268,7 @@ def ivf_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
     cell id. Recall < 1 by construction; validated against cosine_topk in
     tests (recall@10 threshold)."""
     dims = len(query_vec)
-    # deterministic centroids from md5 of (cell, dim) — unit-free but fixed
-    import hashlib
-
-    def cent(c: int) -> list[float]:
-        return [
-            (int(hashlib.md5(f"{c}:{d}".encode()).hexdigest()[:8], 16)
-             / 0xFFFFFFFF) * 2.0 - 1.0
-            for d in range(dims)
-        ]
-
-    cents = [cent(c) for c in range(n_cells)]
+    cents = ivf_centroids(n_cells, dims)
     vec_d = F.col(vec_col).cast("array<double>")
     sims = F.array(
         *[
