@@ -1,0 +1,131 @@
+"""Property-based tests (SURVEY §5.5): random corpora / posting lists.
+
+All pure-python (oracle engine + kernel functions driven directly with
+synthetic segment frames) — no SparkSession, so hypothesis can run hundreds
+of examples cheaply."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from visigoth_spark.codec import (
+    BM25_B,
+    BM25_K1,
+    encode_groups,
+    encode_segment,
+)
+from visigoth_spark.query import _wand_kernel_body
+from visigoth_spark.reference_engine import OracleIndex
+
+WORDS = ["uno", "dos", "tres", "cuatro", "cinco", "seis", "gato", "perro"]
+
+corpus_st = st.lists(
+    st.lists(st.sampled_from(WORDS), min_size=0, max_size=12),
+    min_size=1, max_size=25,
+)
+query_st = st.lists(st.sampled_from(WORDS), min_size=1, max_size=4)
+
+
+def _index(docs: list[list[str]]) -> OracleIndex:
+    idx = OracleIndex()
+    for i, toks in enumerate(docs):
+        # feed pre-chosen tokens as a doc; analyzer keeps these words intact
+        # modulo stemming, which is applied uniformly to docs AND queries
+        idx.put(f"doc-{i:04d}", " ".join(toks))
+    return idx
+
+
+@settings(max_examples=150, deadline=None)
+@given(corpus_st, query_st)
+def test_hits_and_linear_agree_on_random_corpora(docs, query):
+    """LinearSearch ≡ HitsSearch doc sets (the reference asserts this
+    pairwise, search_hits_search_test.go:227-258)."""
+    idx = _index(docs)
+    q = " ".join(query)
+    hits_docs = {u for u, _ in idx.hits_search(q)}
+    linear_docs = {u for u, _ in idx.linear_search(q)}
+    # hits threshold counts duplicate query tokens; linear intersects the
+    # distinct token lists — doc sets agree (duplicates re-count per doc)
+    assert hits_docs == linear_docs
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(0, 2**32), st.integers(1, 6), st.integers(1, 40),
+       st.integers(1, 10))
+def test_wand_kernel_equals_brute_force(seed, n_terms, n_docs, k):
+    """Block-max WAND top-k ≡ exhaustive BM25 top-k on random postings."""
+    rng = np.random.RandomState(seed % 2**31)
+    terms = [f"t{j}" for j in range(n_terms)]
+    doclens = rng.randint(1, 50, size=n_docs).astype(np.int64)
+    rows = []
+    posting: dict[str, dict[int, int]] = {}
+    for t in terms:
+        docs = np.flatnonzero(rng.rand(n_docs) < 0.7)
+        if len(docs) == 0:
+            docs = np.array([rng.randint(0, n_docs)])
+        tfs = rng.randint(1, 8, size=len(docs)).astype(np.int64)
+        posting[t] = dict(zip(docs.tolist(), tfs.tolist()))
+        blob, skips = encode_segment(
+            docs.astype(np.int64), tfs, doclens[docs]
+        )
+        rows.append({"term": t, "min_docid": int(docs[0]),
+                     "blob": blob, "skips": skips})
+    pdf = pd.DataFrame(rows)
+    n_total = n_docs
+    avgdl = float(doclens.mean())
+    dfs = {t: len(posting[t]) for t in terms}
+    idf = {t: math.log((n_total - dfs[t] + 0.5) / (dfs[t] + 0.5) + 1.0)
+           for t in terms}
+
+    out = _wand_kernel_body(pdf, terms, dfs, idf, avgdl, k)
+
+    # brute force: AND candidates, exact BM25, (score DESC, docid ASC) top-k
+    cand = set(posting[terms[0]])
+    for t in terms[1:]:
+        cand &= set(posting[t])
+    exp = []
+    for d in sorted(cand):
+        s = 0.0
+        for t in sorted(terms):
+            tf = float(posting[t][d])
+            dl = float(doclens[d])
+            s += idf[t] * (tf * (BM25_K1 + 1.0)) / (
+                tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl)
+            )
+        exp.append((d, s))
+    exp.sort(key=lambda x: (-x[1], x[0]))
+    exp = exp[:k]
+
+    got = list(zip(out["docid"].tolist(), out["score"].tolist()))
+    got.sort(key=lambda x: (-x[1], x[0]))
+    assert [d for d, _ in got] == [d for d, _ in exp]
+    for (d1, s1), (d2, s2) in zip(got, exp):
+        assert abs(s1 - s2) < 1e-12
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.integers(0, 2**32), st.integers(1, 30))
+def test_encode_groups_byte_identical_to_per_segment(seed, n_groups):
+    rng = np.random.RandomState(seed % 2**31)
+    parts, starts, pos = [], [], 0
+    for _ in range(n_groups):
+        L = rng.randint(1, 300)
+        d = (np.cumsum(rng.randint(1, 1000, size=L)) +
+             rng.randint(0, 2**40)).astype(np.int64)
+        t = rng.randint(1, 100, size=L).astype(np.int64)
+        dl = rng.randint(1, 10**6, size=L).astype(np.int64)
+        parts.append((d, t, dl))
+        starts.append(pos)
+        pos += L
+    docids = np.concatenate([p[0] for p in parts])
+    tfs = np.concatenate([p[1] for p in parts])
+    dls = np.concatenate([p[2] for p in parts])
+    blobs, skips = encode_groups(np.array(starts), docids, tfs, dls)
+    for g, (d, t, dl) in enumerate(parts):
+        b2, s2 = encode_segment(d, t, dl)
+        assert blobs[g] == b2 and skips[g] == s2

@@ -394,8 +394,11 @@ def _wand_kernel_body(pdf: pd.DataFrame, terms: list[str],
         seed = np.argpartition(-ub, k - 1)[:k]
         seed_scores = exact(seed)
         theta = seed_scores.min()
-        # survivors: anything whose UB reaches theta (includes the seed)
-        surv = np.flatnonzero(ub >= theta)
+        # survivors: anything whose UB reaches theta. The bound is
+        # mathematically >= the exact score but computed with a different
+        # association order, so allow 1-ulp-scale slack — extra survivors
+        # only cost a little scoring work, never correctness.
+        surv = np.flatnonzero(ub >= theta - abs(theta) * 1e-9)
         score_s = exact(surv)
         order_idx = np.lexsort((cand[surv], -score_s))[:k]
         keep = surv[order_idx]
