@@ -7,7 +7,7 @@ no external data. The `text` column is the oracle-extracted text of `html`
 must reproduce it byte-identically per url.
 
 Scales: tiny=64 docs (unit tests), small=5_000 (rank-identity/resume),
-bench=200_000 (two-parallelism scaling runs).
+bench=600_000 (two-parallelism scaling runs; bench.py DOCS_PER_SF).
 """
 
 from __future__ import annotations

@@ -234,6 +234,55 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
 """
 
 
+def q_hits_duplicate_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-token semantics (search_hits_search.go:52-76 + threshold
+    at :46,88): a repeated query token re-counts its docs, so the query
+    "spark spark join" needs hits >= 3 with 'spark' weighted x2 — AND of
+    the DISTINCT terms, but instance-weighted counting."""
+    t = _tokens(spark, sf_dir)
+    weights = {"spark": 2, "join": 1}
+    w = F.when(F.col("t") == "spark", F.lit(2)).otherwise(F.lit(1))
+    return (
+        t.filter(F.col("t").isin(list(weights)))
+        .select("doc_id", "t").distinct()
+        .withColumn("w", w)
+        .groupBy("doc_id").agg(F.sum("w").alias("hits"))
+        .filter(F.col("hits") >= 3)
+    )
+
+
+SQL_HITS_DUP = f"""
+WITH {SQL_TOKENS}
+SELECT doc_id, hits FROM (
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN t = 'spark' THEN 2 ELSE 1 END) AS BIGINT)
+               AS hits
+    FROM (SELECT DISTINCT doc_id, t FROM toks
+          WHERE t IN ('spark', 'join'))
+    GROUP BY doc_id
+) WHERE hits >= 3
+"""
+
+
+def q_missing_term_early_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AND with a vocabulary-absent term -> provably empty
+    (search_linear_search.go:65-67; our plan-time df=0 early exit)."""
+    t = _tokens(spark, sf_dir)
+    present = t.filter(F.col("t") == "spark").select("doc_id").distinct()
+    absent = t.filter(F.col("t") == "xyzzynomatch").select("doc_id").distinct()
+    return present.join(absent, "doc_id", "left_semi").select(
+        "doc_id", F.lit(0).alias("hits")
+    )
+
+
+SQL_MISSING_TERM = f"""
+WITH {SQL_TOKENS}
+SELECT doc_id, CAST(0 AS INTEGER) AS hits FROM (
+    SELECT DISTINCT doc_id FROM toks WHERE t = 'spark'
+) WHERE doc_id IN (SELECT doc_id FROM toks WHERE t = 'xyzzynomatch')
+"""
+
+
 def q_match_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """≙ NoopAllSearch (search_noop_search.go:11-21)."""
     return _docs(spark, sf_dir).select(
@@ -571,6 +620,8 @@ QUERIES = {
     "vg_term_df": q_term_df,
     "vg_doclen_stats": q_doclen_stats,
     "vg_bm25_topk": q_bm25_topk,
+    "vg_hits_duplicate_tokens": q_hits_duplicate_tokens,
+    "vg_missing_term_early_exit": q_missing_term_early_exit,
     "vg_match_all": q_match_all,
     "vg_noop_zero": q_noop_zero,
     "dedup_exact": q_dedup_exact,
@@ -592,6 +643,8 @@ ORACLES = {
     "vg_term_df": SQL_TERM_DF,
     "vg_doclen_stats": SQL_DOCLEN_STATS,
     "vg_bm25_topk": SQL_BM25,
+    "vg_hits_duplicate_tokens": SQL_HITS_DUP,
+    "vg_missing_term_early_exit": SQL_MISSING_TERM,
     "vg_match_all": SQL_MATCH_ALL,
     "vg_noop_zero": SQL_NOOP_ZERO,
     "dedup_exact": SQL_DEDUP_EXACT,
