@@ -154,6 +154,27 @@ class TestNoops:
         assert got == oracle.noop_all("anything")
 
 
+class TestTermDictFallback:
+    def test_search_without_termdict_dir(self, spark, tmp_path, oracle):
+        """term_df's driver-side termdict seek must fall back to the Spark
+        metadata scan when the termdict is absent (older index layout /
+        remote storage), with identical results."""
+        import shutil
+
+        from visigoth_spark.build import build_index
+
+        corpus_pd = generate_corpus(N_DOCS)
+        corpus = spark.createDataFrame(corpus_pd[["url", "text", "lang"]])
+        out = str(tmp_path / "idx_no_td")
+        build_index(spark, corpus, out, num_partitions=3)
+        shutil.rmtree(os.path.join(out, "termdict"))
+        idx = SearchIndex(spark, out)
+        got = [(r["url"], r["score"])
+               for r in idx.search("programación java", "bm25", 10).collect()]
+        exp = oracle.bm25_search("programación java", k=10)
+        assert [u for u, _ in got] == [u for u, _ in exp]
+
+
 class TestHeadTermSkew:
     """north_rule: head-term skew handled explicitly. Here the handling is
     structural — bucket == corpus partition, so a term occurring in EVERY
