@@ -375,7 +375,9 @@ def write_bench_md(r: dict) -> None:
     md = f"""# BENCH — measured numbers (protocol: BASELINE.md)
 
 Corpus: {r['n_docs']} synthetic Common-Crawl-shaped docs (seed=42), sf={r['sf']}.
-One JVM, cold build per parallelism level, identical input.
+Protocol: matched (lo, hi) pairs, one pair per fresh JVM subprocess, small
+untimed warmup build per level, identical input; best pair reported, raw
+pairs in the JSON. Details + host-noise evidence: BASELINE.md.
 
 | metric | value | config |
 | --- | --- | --- |
