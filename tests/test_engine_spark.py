@@ -144,6 +144,29 @@ class TestWandParity:
         assert a == b
 
 
+class TestOrParity:
+    """Disjunctive (OR) BM25 — engine extension; union candidate set, absent
+    terms contribute 0, same tiebreak. Block-max pruned, exactly equal to
+    the exhaustive oracle."""
+
+    @pytest.mark.parametrize("q", QUERIES + ["xyzzynomatch curso"])
+    def test_or_rank_and_score_identity(self, index, oracle, q):
+        got = [(r["url"], r["score"])
+               for r in index.search(q, "bm25_or", k=10).collect()]
+        exp = oracle.bm25_or_search(q, k=10)
+        assert [u for u, _ in got] == [u for u, _ in exp], q
+        for (u1, s1), (u2, s2) in zip(got, exp):
+            assert s1 == pytest.approx(s2, abs=1e-12), (q, u1)
+
+    def test_or_superset_of_and(self, index, oracle):
+        q = "programación java"
+        or_urls = {u for u, _ in oracle.bm25_or_search(q, k=10**9)}
+        and_urls = {r["url"]
+                    for r in index.search(q, "bm25", k=None).collect()}
+        assert and_urls <= or_urls
+        assert len(or_urls) > len(and_urls)  # fixture has partial matches
+
+
 class TestNoops:
     def test_noop_zero(self, index):
         assert index.search("java", "noop_zero").count() == 0

@@ -108,6 +108,59 @@ def test_wand_kernel_equals_brute_force(seed, n_terms, n_docs, k):
         assert abs(s1 - s2) < 1e-12
 
 
+@settings(max_examples=60, deadline=None)
+@given(st.integers(0, 2**32), st.integers(1, 5), st.integers(1, 40),
+       st.integers(1, 10))
+def test_or_kernel_equals_brute_force(seed, n_terms, n_docs, k):
+    """Disjunctive block-max WAND top-k ≡ exhaustive union BM25 top-k."""
+    from visigoth_spark.query import _or_kernel_body
+
+    rng = np.random.RandomState(seed % 2**31)
+    terms = [f"t{j}" for j in range(n_terms)]
+    doclens = rng.randint(1, 50, size=n_docs).astype(np.int64)
+    rows = []
+    posting: dict[str, dict[int, int]] = {}
+    for t in terms:
+        docs = np.flatnonzero(rng.rand(n_docs) < 0.4)
+        if len(docs) == 0:
+            docs = np.array([rng.randint(0, n_docs)])
+        tfs = rng.randint(1, 8, size=len(docs)).astype(np.int64)
+        posting[t] = dict(zip(docs.tolist(), tfs.tolist()))
+        blob, skips = encode_segment(docs.astype(np.int64), tfs,
+                                     doclens[docs])
+        rows.append({"term": t, "min_docid": int(docs[0]),
+                     "blob": blob, "skips": skips})
+    pdf = pd.DataFrame(rows)
+    avgdl = float(doclens.mean())
+    dfs = {t: len(posting[t]) for t in terms}
+    idf = {t: math.log((n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5) + 1.0)
+           for t in terms}
+
+    out = _or_kernel_body(pdf, terms, idf, avgdl, k)
+
+    cand = sorted(set().union(*[posting[t] for t in terms]))
+    exp = []
+    for d in cand:
+        s = 0.0
+        for t in sorted(terms):
+            tf = posting[t].get(d)
+            if tf is None:
+                continue
+            dl = float(doclens[d])
+            s += idf[t] * (tf * (BM25_K1 + 1.0)) / (
+                tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl)
+            )
+        exp.append((d, s))
+    exp.sort(key=lambda x: (-x[1], x[0]))
+    exp = exp[:k]
+
+    got = list(zip(out["docid"].tolist(), out["score"].tolist()))
+    got.sort(key=lambda x: (-x[1], x[0]))
+    assert [d for d, _ in got] == [d for d, _ in exp]
+    for (d1, s1), (d2, s2) in zip(got, exp):
+        assert abs(s1 - s2) < 1e-12
+
+
 @settings(max_examples=80, deadline=None)
 @given(st.integers(0, 2**32), st.integers(1, 30))
 def test_encode_groups_byte_identical_to_per_segment(seed, n_groups):

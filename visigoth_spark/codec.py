@@ -255,6 +255,16 @@ def decode_segment(
     return docids, tfs.astype(np.int64), dls.astype(np.int64)
 
 
+def decode_docids(blob: bytes, base: int = -1) -> np.ndarray:
+    """Decode ONLY the docid stream (first section) — the OR/union path
+    reads ids for every posting but tf/dl only for surviving blocks."""
+    header = np.frombuffer(blob[:16], dtype=_HEADER)[0]
+    n = int(header["n"])
+    body = np.frombuffer(blob, dtype=np.uint8, offset=16)
+    deltas = vb_decode(body[: int(header["off_tfs"])], n)
+    return np.cumsum(deltas.astype(np.int64)) + base
+
+
 def decode_skips(skips: bytes) -> np.ndarray:
     return np.frombuffer(skips, dtype=SKIP_DTYPE)
 

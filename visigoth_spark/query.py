@@ -38,6 +38,7 @@ from visigoth_spark.codec import (
     BM25_B,
     BM25_K1,
     decode_block,
+    decode_docids,
     decode_segment,
     decode_skips,
     tf_norm,
@@ -49,7 +50,8 @@ RESULT_KERNEL_SCHEMA = "docid long, score double, hits int"
 # unimplemented in the reference — our bm25/bm25_wand engines occupy that
 # slot rather than inventing semantics for it.
 ENGINES = frozenset(
-    {"bm25", "bm25_wand", "hits", "linear", "noop_zero", "noop_all"}
+    {"bm25", "bm25_wand", "bm25_or", "hits", "linear", "noop_zero",
+     "noop_all"}
 )
 
 
@@ -196,6 +198,8 @@ class SearchIndex:
             dfs[t] == 0 for t in terms
         ):
             return self._empty_result()  # AND with a missing term
+        if engine == "bm25_or" and all(dfs[t] == 0 for t in terms):
+            return self._empty_result()  # OR with no matching term at all
 
         n_docs = self.stats["n_docs"]
         avgdl = self.stats["avgdl"]
@@ -409,6 +413,93 @@ def _wand_kernel_body(pdf: pd.DataFrame, terms: list[str],
     )
 
 
+def _or_kernel_body(pdf: pd.DataFrame, terms: list[str],
+                    idf: dict[str, float], avgdl: float, k: int | None
+                    ) -> pd.DataFrame:
+    """Disjunctive (OR) block-max WAND for one bucket:
+
+    1. per term, decode ONLY the docid streams (codec.decode_docids) and
+       derive each posting's block-max contribution straight from the skip
+       records (per-posting repeat of the block's max_tf/min_dl — no tf/dl
+       decode at all yet);
+    2. union the docids; per-doc upper bound = segmented sum of the
+       block-max contributions (bincount over the unique inverse);
+    3. seed = top-k by upper bound, scored EXACTLY (tf/dl decoded only for
+       the blocks covering the seed docs) -> threshold theta;
+    4. survivors (ub >= theta with ulp slack) scored exactly the same way;
+       exact top-k, bit-identical to the exhaustive oracle (absent terms
+       contribute 0; summation in sorted-term order)."""
+    present = [t for t in terms if (pdf["term"] == t).any()]
+    if not present:
+        return _EMPTY
+    ids_per: dict[str, np.ndarray] = {}
+    ub_parts: list[np.ndarray] = []
+    id_parts: list[np.ndarray] = []
+    for t in present:
+        rows = pdf[pdf["term"] == t].sort_values("min_docid")
+        ids_l, ub_l = [], []
+        for blob, skips_b in zip(rows["blob"], rows["skips"]):
+            d = decode_docids(bytes(blob))
+            sk = decode_skips(bytes(skips_b))
+            ids_l.append(d)
+            ub_l.append(
+                idf[t] * (BM25_K1 + 1.0) * tf_norm(
+                    np.repeat(sk["max_tf"].astype(np.float64), sk["n"]),
+                    np.repeat(sk["min_dl"].astype(np.float64), sk["n"]),
+                    avgdl,
+                )
+            )
+        ids_per[t] = np.concatenate(ids_l)
+        id_parts.append(ids_per[t])
+        ub_parts.append(np.concatenate(ub_l))
+    uniq, inv = np.unique(np.concatenate(id_parts), return_inverse=True)
+    ub = np.bincount(inv, weights=np.concatenate(ub_parts),
+                     minlength=len(uniq))
+
+    def exact(sub: np.ndarray) -> np.ndarray:
+        """Exact BM25 for a sorted docid subset; per term, decode only the
+        blocks covering the subset."""
+        s = np.zeros(len(sub), dtype=np.float64)
+        for t in sorted(present):
+            ids, tfs, dls, _, _ = _decode_term_blocks_for(pdf, t, sub)
+            if len(ids) == 0:
+                continue
+            pos = np.minimum(np.searchsorted(ids, sub), len(ids) - 1)
+            m = ids[pos] == sub
+            tf = tfs[pos[m]].astype(np.float64)
+            dl = dls[pos[m]].astype(np.float64)
+            s[m] += idf[t] * (tf * (BM25_K1 + 1.0)) / (
+                tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl)
+            )
+        return s
+
+    # hits = number of distinct present terms matching each doc
+    hits = np.zeros(len(uniq), dtype=np.int64)
+    for t in present:
+        pos = np.minimum(np.searchsorted(ids_per[t], uniq),
+                         len(ids_per[t]) - 1)
+        hits += (ids_per[t][pos] == uniq).astype(np.int64)
+
+    if k is None or len(uniq) <= k:
+        keep = np.arange(len(uniq))
+        score = exact(uniq)
+    else:
+        seed = np.argpartition(-ub, k - 1)[:k]
+        seed_sorted = np.sort(uniq[seed])
+        seed_scores = exact(seed_sorted)
+        theta = seed_scores.min()
+        surv = np.flatnonzero(ub >= theta - abs(theta) * 1e-9)
+        sub = uniq[surv]  # already sorted (uniq is sorted, surv ascending)
+        score_s = exact(sub)
+        order_idx = np.lexsort((sub, -score_s))[:k]
+        keep = surv[order_idx]
+        score = score_s[order_idx]
+    return pd.DataFrame(
+        {"docid": uniq[keep], "score": score,
+         "hits": hits[keep].astype(np.int32)}
+    )
+
+
 def _make_kernel(engine: str, terms: list[str], multiplicity: dict[str, int],
                  idf: dict[str, float], avgdl: float, threshold: int,
                  k: int | None, dfs: dict[str, int] | None = None):
@@ -418,6 +509,8 @@ def _make_kernel(engine: str, terms: list[str], multiplicity: dict[str, int],
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         if engine == "bm25_wand":
             return _wand_kernel_body(pdf, terms, dfs or {}, idf, avgdl, k)
+        if engine == "bm25_or":
+            return _or_kernel_body(pdf, terms, idf, avgdl, k)
         decoded = {t: _decode_term_segments(pdf, t) for t in terms}
 
         if engine == "hits":

@@ -150,6 +150,35 @@ class OracleIndex:
         return out[:k]
 
 
+    def bm25_or_search(self, query: str, k: int = 10
+                       ) -> list[tuple[str, float]]:
+        """Disjunctive (OR) BM25 top-k — engine extension beyond the
+        reference's AND-only retrieval (the candidate set is the UNION of
+        the analyzed terms' postings; absent terms contribute 0). Same
+        summation order and (score DESC, url ASC) tiebreak as bm25_search."""
+        terms = sorted(set(analyze_text(query, self.analyzer)))
+        if not terms:
+            return []
+        cand: set[int] = set()
+        for t in terms:
+            cand.update(self.postings.get(t, []))
+        if not cand:
+            return []
+        avgdl = self.avgdl()
+        out: list[tuple[str, float]] = []
+        for d in sorted(cand):
+            dl = self.doclens[d]
+            norm = BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl)
+            score = 0.0
+            for t in terms:
+                tf = self.tfs.get(t, {}).get(d)
+                if tf is not None:
+                    score += self.idf(t) * (tf * (BM25_K1 + 1.0)) / (tf + norm)
+            out.append((self.urls[d], score))
+        out.sort(key=lambda r: (-r[1], r[0]))
+        return out[:k]
+
+
 def _intersect(a: list[int], b: list[int]) -> list[int]:
     """Two-pointer sorted intersection (≙ search_linear_search.go:12-31)."""
     r: list[int] = []
