@@ -283,6 +283,65 @@ SELECT doc_id, CAST(0 AS INTEGER) AS hits FROM (
 """
 
 
+def q_bm25_or_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive BM25 top-k (engine extension): union candidate set,
+    absent terms contribute 0 — the q_bm25_topk plan without the AND
+    filter."""
+    docs = _docs(spark, sf_dir)
+    t = _tokens(spark, sf_dir)
+    n_docs = docs.count()
+    dl = t.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    avgdl = t.count() / n_docs
+    tf = (
+        t.filter(F.col("t").isin(BM25_TERMS))
+        .groupBy("doc_id", "t").agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("t").agg(F.count("*").alias("df"))
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    return (
+        tf.join(F.broadcast(df_), "t")
+        .join(dl, "doc_id")
+        .withColumn(
+            "contrib",
+            idf * (F.col("tf") * (BM25_K1 + 1.0)) / (
+                F.col("tf")
+                + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / avgdl)
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("contrib"), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(BM25_K)
+    )
+
+
+SQL_BM25_OR = f"""
+WITH {SQL_TOKENS},
+stats AS (
+    SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+           COUNT(*) * 1.0 / (SELECT COUNT(*) FROM documents) AS avgdl
+    FROM toks
+),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+tf AS (
+    SELECT doc_id, t, COUNT(*) AS tf FROM toks
+    WHERE t IN ('spark', 'join') GROUP BY doc_id, t
+),
+dfs AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t)
+SELECT tf.doc_id,
+       ROUND(SUM(
+           LN((stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5) + 1.0)
+           * (tf.tf * (1.2 + 1.0))
+           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+       ), 6) AS score
+FROM tf JOIN dfs USING (t) JOIN dl ON tf.doc_id = dl.doc_id, stats
+GROUP BY tf.doc_id
+ORDER BY score DESC, tf.doc_id ASC LIMIT 10
+"""
+
+
 def q_match_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """≙ NoopAllSearch (search_noop_search.go:11-21)."""
     return _docs(spark, sf_dir).select(
@@ -620,6 +679,7 @@ QUERIES = {
     "vg_term_df": q_term_df,
     "vg_doclen_stats": q_doclen_stats,
     "vg_bm25_topk": q_bm25_topk,
+    "vg_bm25_or_topk": q_bm25_or_topk,
     "vg_hits_duplicate_tokens": q_hits_duplicate_tokens,
     "vg_missing_term_early_exit": q_missing_term_early_exit,
     "vg_match_all": q_match_all,
@@ -643,6 +703,7 @@ ORACLES = {
     "vg_term_df": SQL_TERM_DF,
     "vg_doclen_stats": SQL_DOCLEN_STATS,
     "vg_bm25_topk": SQL_BM25,
+    "vg_bm25_or_topk": SQL_BM25_OR,
     "vg_hits_duplicate_tokens": SQL_HITS_DUP,
     "vg_missing_term_early_exit": SQL_MISSING_TERM,
     "vg_match_all": SQL_MATCH_ALL,
