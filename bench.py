@@ -55,6 +55,7 @@ QUERY_SUITE = [
     ("bm25_tail", "huevos", "bm25"),
     ("bm25_head", "curso", "bm25"),
     ("bm25_2tail", "zampo casco", "bm25"),
+    ("bm25_or_2term", "programación java", "bm25_or"),
     ("hits_1term", "java", "hits"),
     ("hits_2term", "programacion web", "hits"),
     ("linear_2term", "python web", "linear"),

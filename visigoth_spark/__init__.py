@@ -40,8 +40,24 @@ def ensure_shipped(spark) -> None:
     if key in _SHIPPED_SESSIONS:
         return
     pkg_dir = _os.path.dirname(_os.path.abspath(__file__))
+    # zip name keyed by CONTENT hash, not version — a stale zip silently
+    # ships old code to executors after an edit (bitten once: executors
+    # missing a newly added function while the driver had it)
+    import hashlib as _hashlib
+
+    h = _hashlib.md5()
+    srcs = []
+    for root, _, files in _os.walk(pkg_dir):
+        for fn in files:
+            if fn.endswith(".py"):
+                srcs.append(_os.path.join(root, fn))
+    for full in sorted(srcs):
+        h.update(full.encode())
+        with open(full, "rb") as f:
+            h.update(f.read())
     zpath = _os.path.join(
-        _tempfile.gettempdir(), f"visigoth_spark_pkg_{__version__}.zip"
+        _tempfile.gettempdir(),
+        f"visigoth_spark_pkg_{h.hexdigest()[:12]}.zip",
     )
     if not _os.path.exists(zpath):
         tmp = zpath + ".tmp"
