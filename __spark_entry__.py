@@ -4,13 +4,15 @@
   (visigoth_spark.build) over the sf0.001 documents table and runs a top-k
   BM25 search through the per-bucket intersection kernel (visigoth_spark.
   query).
-- ``queries()`` / ``oracle_sql()``: one paired entry per operator — engine
-  semantics (hits/linear/match-all/bm25/df/stats) re-expressed as pure
-  Catalyst plans, plus the training-data pipeline operators (dedup exact /
-  jaccard / minhash-LSH / simhash, ANN cosine top-k, lang-id, quality,
-  token counts, fingerprints). Full-analyzer (Snowball) rank identity is
-  covered by pytest against the single-process oracle engine — DuckDB has no
-  Snowball stemmer in-sandbox.
+- ``queries()`` / ``oracle_sql()``: 21 paired entries — engine semantics
+  (hits incl. duplicate-token weighting / linear / missing-term early exit /
+  match-all / noop-zero / AND-BM25 / OR-BM25 / term df / corpus stats)
+  re-expressed as relational plans, plus the training-data pipeline
+  operators (dedup exact / jaccard / minhash-LSH / simhash, ANN cosine +
+  IVF top-k, lang-id, quality, token counts, fingerprints, multimodal
+  binary metadata). Full-analyzer (Snowball) rank identity is covered by
+  pytest against the single-process oracle engine — DuckDB has no Snowball
+  stemmer in-sandbox.
 """
 
 from __future__ import annotations
