@@ -325,6 +325,15 @@ def main() -> None:
         if engine == "bm25":
             bm25_lat.append(dt)
     suite_wall = time.time() - t_suite
+    # batched mode: the same queries in ONE Spark job (search_many) — the
+    # serving-throughput path
+    batch_qs = [q for _, q, _ in QUERY_SUITE]
+    idx.search_many(batch_qs[:2], "bm25", 10).collect()  # warm path
+    t0 = time.time()
+    idx.search_many(batch_qs, "bm25", 10).collect()
+    batch_wall = time.time() - t0
+    batch_qps = len(batch_qs) / batch_wall
+
     from visigoth_spark.build import load_stats as _load_stats
 
     hi_stats = _load_stats(idx_hi)
@@ -365,6 +374,8 @@ def main() -> None:
             ],
         },
         "bm25_latency": {"p50": round(p50, 4), "p95": round(p95, 4)},
+        "batch": {"queries": len(batch_qs), "wall": round(batch_wall, 3),
+                  "qps": round(batch_qps, 1)},
         "index": index_info,
     }
     write_bench_md(result)
@@ -388,7 +399,8 @@ pairs in the JSON. Details + host-noise evidence: BASELINE.md.
 | CPU-work invariance (cpu/build at N / at 4N) | {b['cpu_work_invariance']} | tree-CPU from /proc — immune to hypervisor steal; 1.0 = 4N adds zero software overhead |
 | BM25 top-10 latency p50 | {r['bm25_latency']['p50']} s | warm index, local[{b['cores_hi']}] |
 | BM25 top-10 latency p95 | {r['bm25_latency']['p95']} s | warm index, local[{b['cores_hi']}] |
-| query suite wall ({len(r['queries'])} queries) | {r['value']} s | bm25/hits/linear mix |
+| query suite wall ({len(r['queries'])} queries) | {r['value']} s | bm25/hits/linear mix, one job per query |
+| batched query throughput | {r['batch']['qps']} q/s | search_many: {r['batch']['queries']} queries in ONE job ({r['batch']['wall']} s) |
 | posting blob bytes/posting | {r['index']['bytes_per_posting']} | delta+varbyte incl. tf+doclen streams |
 | index blob / corpus bytes | {r['index']['blob_to_corpus_ratio']} | {r['index']['bytes_blob']} / {r['index']['corpus_bytes']} |
 

@@ -167,6 +167,32 @@ class TestOrParity:
         assert len(or_urls) > len(and_urls)  # fixture has partial matches
 
 
+class TestSearchMany:
+    """Batched top-k (one Spark job for N queries) must equal the per-query
+    engine exactly, per engine, including empty/missing/stopword queries."""
+
+    BATCH = ["programación java", "curso", "huevos", "el la de en",
+             "xyzzynomatch", "curso web", "java java"]
+
+    @pytest.mark.parametrize("engine",
+                             ["bm25", "bm25_wand", "bm25_or", "hits",
+                              "linear"])
+    def test_batch_equals_single(self, index, engine):
+        batch = index.search_many(self.BATCH, engine, k=10).collect()
+        by_qid: dict[int, list] = {}
+        for r in batch:
+            by_qid.setdefault(r["qid"], []).append(
+                (r["url"], r["score"], r["hits"])
+            )
+        for qid, q in enumerate(self.BATCH):
+            single = [(r["url"], r["score"], r["hits"])
+                      for r in index.search(q, engine, k=10).collect()]
+            assert by_qid.get(qid, []) == single, (engine, q)
+
+    def test_all_empty_batch(self, index):
+        assert index.search_many(["", "el la de en"], "bm25").count() == 0
+
+
 class TestNoops:
     def test_noop_zero(self, index):
         assert index.search("java", "noop_zero").count() == 0

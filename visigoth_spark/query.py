@@ -246,6 +246,113 @@ class SearchIndex:
             .orderBy(*_order_cols(engine))
         )
 
+    def search_many(self, queries: list[str], engine: str = "bm25",
+                    k: int = 10) -> DataFrame:
+        """Batched top-k: run MANY queries in ONE Spark job. The postings
+        scan covers the union of all queries' terms; the per-bucket kernel
+        evaluates every query against the bucket; the driver merges each
+        query's global top-k and hydrates all urls with a single docmap
+        point lookup. Amortizes the per-job scheduling cost that dominates
+        single-query latency — the serving-throughput path.
+
+        Returns (qid, url, docid, score, hits), each qid's rows in the
+        engine's order. qid = position in ``queries``."""
+        if engine not in ENGINES or engine in ("noop_zero", "noop_all"):
+            raise ValueError(f"unsupported batch engine {engine!r}")
+        n_docs = self.stats["n_docs"]
+        avgdl = self.stats["avgdl"]
+        plans: dict[int, dict] = {}
+        all_terms: set[str] = set()
+        for qid, q in enumerate(queries):
+            tokens = analyze_text(q, self.analyzer)
+            if tokens:
+                terms = sorted(set(tokens))
+                plans[qid] = {"tokens": tokens, "terms": terms}
+                all_terms.update(terms)
+        if not plans:
+            return self._empty_batch_result()
+        dfs = self.term_df(sorted(all_terms))
+        kernels: list[tuple[int, object]] = []
+        for qid, p in sorted(plans.items()):
+            terms = p["terms"]
+            if engine in ("linear", "bm25", "bm25_wand") and any(
+                dfs[t] == 0 for t in terms
+            ):
+                continue
+            if engine == "bm25_or" and all(dfs[t] == 0 for t in terms):
+                continue
+            idf = {
+                t: math.log((n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5) + 1.0)
+                for t in terms
+            }
+            mult = {t: p["tokens"].count(t) for t in terms}
+            kernels.append((qid, _make_kernel(
+                engine, terms, mult, idf, avgdl,
+                threshold=len(p["tokens"]), k=k, dfs=dfs,
+            )))
+        if not kernels:
+            return self._empty_batch_result()
+        live_terms = sorted(
+            {t for qid, _ in kernels for t in plans[qid]["terms"]}
+        )
+
+        def multi_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            outs = []
+            for qid, kern in kernels:
+                out = kern(pdf)
+                if len(out):
+                    out = out.copy()
+                    out.insert(0, "qid", np.int32(qid))
+                    outs.append(out)
+            if not outs:
+                return pd.DataFrame({
+                    "qid": pd.Series(dtype=np.int32),
+                    "docid": pd.Series(dtype=np.int64),
+                    "score": pd.Series(dtype=np.float64),
+                    "hits": pd.Series(dtype=np.int32),
+                })
+            return pd.concat(outs, ignore_index=True)
+
+        seg = self._postings.filter(F.col("term").isin(live_terms)).select(
+            "term", "bucket", "min_docid", "blob", "skips"
+        )
+        local = seg.groupBy("bucket").applyInPandas(
+            multi_kernel, "qid int, " + RESULT_KERNEL_SCHEMA
+        ).collect()
+
+        # driver-side merge: per qid, global engine-order top-k
+        by_qid: dict[int, list] = {}
+        for r in local:
+            by_qid.setdefault(r["qid"], []).append(r)
+        results: list[tuple] = []
+        ids: set[int] = set()
+        for qid in sorted(by_qid):
+            rows = by_qid[qid]
+            if engine == "hits":
+                rows.sort(key=lambda r: (-r["hits"], r["docid"]))
+            elif engine == "linear":
+                rows.sort(key=lambda r: r["docid"])
+            else:
+                rows.sort(key=lambda r: (-r["score"], r["docid"]))
+            rows = rows[:k]
+            results.extend(
+                (qid, int(r["docid"]), float(r["score"]), int(r["hits"]))
+                for r in rows
+            )
+            ids.update(int(r["docid"]) for r in rows)
+        if not results:
+            return self._empty_batch_result()
+        url_of = self._urls_for(sorted(ids))
+        return self.spark.createDataFrame(
+            [(qid, url_of[d], d, s, h) for (qid, d, s, h) in results],
+            "qid int, url string, docid long, score double, hits int",
+        )
+
+    def _empty_batch_result(self) -> DataFrame:
+        return self.spark.createDataFrame(
+            [], "qid int, url string, docid long, score double, hits int"
+        )
+
     def _empty_result(self) -> DataFrame:
         return self.spark.createDataFrame(
             [], "url string, docid long, score double, hits int"
