@@ -1,0 +1,171 @@
+"""Scale-hardening tests for the pipeline operators flagged in round 1:
+
+- jaccard_pairs: the max_shingle_df cap bounds candidate generation even
+  when a boilerplate shingle is shared by every document;
+- minhash_lsh_pairs: the bucket-size cap bounds the O(cluster^2) pair
+  expansion of a mega-bucket;
+- simhash64: the no-collect_list formulation is bit-identical to a direct
+  python computation and completes on a very long document in bounded
+  memory (fixed 60-long agg buffer per group);
+- IVF partitioned path: identical results to the on-the-fly ivf_topk, with
+  parquet partition pruning visible in the physical plan.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from visigoth_spark import pipeline as P
+
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+BOILER = "all rights reserved contact us terms"
+
+
+class TestJaccardCap:
+    def test_boilerplate_shingle_bounded(self, spark):
+        # 30 docs all sharing a boilerplate phrase + unique bodies; two true
+        # near-dup docs sharing real content
+        rows = [
+            (i, f"{BOILER} unique body {i} alpha beta gamma delta{i}")
+            for i in range(30)
+        ]
+        rows += [(100, "spark shuffle join broadcast partition skew salt"),
+                 (101, "spark shuffle join broadcast partition skew salting")]
+        df = _docs_df(spark, rows)
+        # cap at 5: every boilerplate shingle (df=30) is dropped from
+        # candidate generation, so no pair forms among the 30 boilerplate
+        # docs; the true near-dup pair (unique shingles, df=2) survives
+        pairs = P.jaccard_pairs(df, threshold=0.3, max_shingle_df=5).collect()
+        ids = {(r["id_a"], r["id_b"]) for r in pairs}
+        assert (100, 101) in ids
+        assert all(a == 100 for a, b in ids), (
+            f"boilerplate docs must not pair: {ids}"
+        )
+
+    def test_uncapped_equals_high_cap(self, spark):
+        rows = [(i, f"common prefix words here body {i % 3} tail") for i in
+                range(12)]
+        df = _docs_df(spark, rows)
+        hi = P.jaccard_pairs(df, threshold=0.4, max_shingle_df=10_000)
+        no = P.jaccard_pairs(df, threshold=0.4, max_shingle_df=None)
+        assert sorted(map(tuple, hi.collect())) == sorted(
+            map(tuple, no.collect())
+        )
+
+
+class TestLshBucketCap:
+    def test_mega_bucket_dropped(self, spark):
+        # 20 identical docs -> every band bucket has 20 members; capped at 5
+        # none of them pair. Two other near-identical docs still pair.
+        rows = [(i, "identical spam page content repeated") for i in range(20)]
+        rows += [(100, "real page about spark joins and shuffles today"),
+                 (101, "real page about spark joins and shuffles")]
+        df = _docs_df(spark, rows)
+        pairs = P.minhash_lsh_pairs(df, max_bucket_size=5).collect()
+        ids = {(r["id_a"], r["id_b"]) for r in pairs}
+        assert all(a >= 100 for a, b in ids), f"spam cluster paired: {ids}"
+        # sanity: without the cap the spam cluster explodes into 190 pairs
+        uncapped = P.minhash_lsh_pairs(df, max_bucket_size=None).count()
+        assert uncapped >= 190
+
+
+def _simhash_py(text: str, bits: int = 60) -> int:
+    toks = [t for t in __import__("regex").findall(r"[\p{L}\p{N}]+",
+                                                   text.lower())]
+    sums = [0] * bits
+    for t in toks:
+        h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+        for j in range(bits):
+            sums[j] += 1 if (h >> j) & 1 else -1
+    out = 0
+    for j in range(bits):
+        if sums[j] > 0:
+            out |= 1 << j
+    return out
+
+
+class TestSimhashNoCollect:
+    def test_matches_python_oracle(self, spark):
+        rows = [(1, "spark join shuffle spark spark"),
+                (2, "completely different words entirely"),
+                (3, "spark join shuffle spark sparks")]
+        df = _docs_df(spark, rows)
+        got = {r["doc_id"]: r["simhash"]
+               for r in P.simhash64(df).collect()}
+        for did, text in rows:
+            assert got[did] == _simhash_py(text), f"doc {did}"
+
+    def test_long_doc_bounded(self, spark):
+        # 60k tokens in one document: the old collect_list shape would hold
+        # 60k x 60 longs (~29 MB) in one agg buffer; the sum shape holds 60.
+        words = " ".join(f"w{i % 997}" for i in range(60_000))
+        df = _docs_df(spark, [(1, words), (2, "short doc")])
+        out = P.simhash64(df).collect()
+        assert len(out) == 2
+        got = {r["doc_id"]: r["simhash"] for r in out}
+        assert got[2] == _simhash_py("short doc")
+
+    def test_plan_has_no_collect_list(self, spark):
+        df = _docs_df(spark, [(1, "a b c")])
+        plan = P.simhash64(df)._jdf.queryExecution().optimizedPlan().toString()
+        assert "collect_list" not in plan
+
+
+class TestIvfPartitioned:
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        vecs = rng.normal(size=(400, 16)).astype(float)
+        rows = [(i, [float(x) for x in vecs[i]]) for i in range(400)]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+    def test_partitioned_equals_inline(self, spark, emb, tmp_path):
+        path = str(tmp_path / "ivf")
+        P.ivf_write_partitioned(emb, path, n_cells=8, dims=16)
+        q = emb.filter(F.col("vec_id") == 3).collect()[0]["embedding"]
+        a = P.ivf_topk(emb, list(q), k=10, n_cells=8).collect()
+        b = P.ivf_topk_partitioned(spark, path, list(q), k=10,
+                                   n_cells=8).collect()
+        assert [(r["vec_id"], r["sim"]) for r in a] == [
+            (r["vec_id"], r["sim"]) for r in b
+        ]
+
+    def test_partition_pruning_in_plan(self, spark, emb, tmp_path):
+        path = str(tmp_path / "ivf2")
+        P.ivf_write_partitioned(emb, path, n_cells=8, dims=16)
+        q = emb.filter(F.col("vec_id") == 3).collect()[0]["embedding"]
+        df = P.ivf_topk_partitioned(spark, path, list(q), k=10, n_cells=8)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "cell" in plan
+        # the pruned scan must enumerate only the probed cells (2 of 8)
+        probe = P.probe_cells(list(q), n_cells=8)
+        assert len(probe) == 2
+
+    def test_recall_vs_brute(self, spark, emb, tmp_path):
+        import numpy as np
+
+        rng = np.random.default_rng(11)
+        hits = 0
+        n_q = 5
+        for qi in range(n_q):
+            q = emb.filter(F.col("vec_id") == qi).collect()[0]["embedding"]
+            brute = {r["vec_id"]
+                     for r in P.cosine_topk(emb, list(q), k=10).collect()}
+            ivf = {r["vec_id"]
+                   for r in P.ivf_topk(emb, list(q), k=10,
+                                       n_cells=8).collect()}
+            hits += len(brute & ivf)
+        # random gaussian vectors + random centroids: recall well above the
+        # 2/8-cells-scanned floor
+        assert hits / (10 * n_q) >= 0.2

@@ -379,16 +379,29 @@ FROM h JOIN c USING (text_hash)
 """
 
 
+JACCARD_MAX_SHINGLE_DF = 500  # < n_docs at sf0.01 so the cap path is LIVE
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return P.jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
+    """Capped-candidate Jaccard: the max_shingle_df cap (and the df>=2
+    singleton drop) are mirrored verbatim in the oracle SQL, so the cap
+    semantics themselves are value-checked, not just the uncapped core."""
+    return P.jaccard_pairs(_docs(spark, sf_dir), threshold=0.5,
+                           max_shingle_df=JACCARD_MAX_SHINGLE_DF)
 
 
 SQL_JACCARD = f"""
 WITH {SQL_SHINGLES},
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+live AS (
+    SELECT shingle FROM sh GROUP BY shingle
+    HAVING COUNT(*) BETWEEN 2 AND {JACCARD_MAX_SHINGLE_DF}
+),
+capped AS (SELECT sh.* FROM sh JOIN live USING (shingle)),
 inter AS (
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
-    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    FROM capped a JOIN capped b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id
 )
 SELECT id_a, id_b, jaccard FROM (
@@ -401,8 +414,13 @@ SELECT id_a, id_b, jaccard FROM (
 """
 
 
+LSH_MAX_BUCKET = 500  # < n_docs at sf0.01 so the cap path is LIVE
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return P.minhash_lsh_pairs(_docs(spark, sf_dir))
+    """LSH with the bucket-size cap mirrored verbatim in the oracle SQL."""
+    return P.minhash_lsh_pairs(_docs(spark, sf_dir),
+                               max_bucket_size=LSH_MAX_BUCKET)
 
 
 def _sql_minhash() -> str:
@@ -423,9 +441,14 @@ mh AS (
 ),
 bands AS (
     {bands}
-)
+),
+live AS (
+    SELECT band, sig FROM bands GROUP BY band, sig
+    HAVING COUNT(*) BETWEEN 2 AND {LSH_MAX_BUCKET}
+),
+cb AS (SELECT bands.* FROM bands JOIN live USING (band, sig))
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+FROM cb a JOIN cb b ON a.band = b.band AND a.sig = b.sig
 WHERE a.doc_id < b.doc_id
 """
 

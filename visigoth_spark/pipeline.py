@@ -76,18 +76,30 @@ def token_shingles(df: DataFrame, id_col: str = "doc_id",
 
 def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", n: int = 3,
-                  threshold: float = 0.5) -> DataFrame:
+                  threshold: float = 0.5,
+                  max_shingle_df: int | None = 10_000) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs: (id_a, id_b, jaccard).
 
     Scale: the shingle self-join is the classic candidate generator; the
-    shuffle key is the shingle, so hot shingles (boilerplate) are the skew
-    risk — production path caps posting length per shingle (drop shingles
-    with df > cap, they carry no discriminative signal). Here the cap is
-    exposed as ``max_shingle_df``-style pre-filter via distinct shingles."""
+    shuffle key is the shingle, so hot shingles (boilerplate) are THE skew
+    blowup at web scale — one shingle shared by 10^8 docs would expand to
+    10^16 candidate pairs on a single join key. ``max_shingle_df`` drops
+    shingles with df above the cap from candidate generation AND from the
+    intersection counts (they carry no discriminative signal); denominators
+    keep the FULL per-doc shingle counts, so the reported jaccard is a lower
+    bound for pairs that shared a capped shingle and exact otherwise.
+    Singleton shingles (df == 1) are also dropped before the self-join —
+    they cannot produce a pair and at web scale they are the long tail of
+    the shingle distribution (zero result change, large shuffle saving)."""
     sh = token_shingles(df, id_col, text_col, n).cache()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    sdf = sh.groupBy("shingle").agg(F.count("*").alias("sdf"))
+    live = sdf.filter(F.col("sdf") >= 2)
+    if max_shingle_df is not None:
+        live = live.filter(F.col("sdf") <= max_shingle_df)
+    capped = sh.join(live.select("shingle"), "shingle")
+    a = capped.select(F.col(id_col).alias("id_a"), "shingle")
+    b = capped.select(F.col(id_col).alias("id_b"), "shingle")
     inter = (
         a.join(b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -112,7 +124,8 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", n: int = 3,
-                      num_hashes: int = 8, band_size: int = 2) -> DataFrame:
+                      num_hashes: int = 8, band_size: int = 2,
+                      max_bucket_size: int | None = 10_000) -> DataFrame:
     """MinHash + LSH banding candidate pairs: (id_a, id_b).
 
     MinHash permutation h_j = md5(j || shingle) compared as hex strings
@@ -123,7 +136,11 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     Scale: per-band shuffle key = (band_idx, band_hash); bucket sizes are the
     collision clusters (near-dups), so skew == actual duplication. The
     O(cluster²) pair expansion inside a bucket is the standard LSH cost;
-    production caps bucket size before pairing."""
+    ``max_bucket_size`` drops buckets above the cap before pairing (a
+    10^6-doc spam cluster would otherwise expand to 10^12 pairs on one
+    (band, sig) join key — the pairs inside a mega-cluster are redundant
+    anyway: exact dedup or a cluster-id assignment handles them in O(n)).
+    Singleton buckets are dropped too (no pair possible, big join saving)."""
     sh = token_shingles(df, id_col, text_col, n)
     mh = sh.groupBy(id_col).agg(
         *[
@@ -153,6 +170,11 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
             )
         ).alias("bs"),
     ).select(id_col, "bs.band", "bs.sig")
+    bsize = bands.groupBy("band", "sig").agg(F.count("*").alias("bn"))
+    live = bsize.filter(F.col("bn") >= 2)
+    if max_bucket_size is not None:
+        live = live.filter(F.col("bn") <= max_bucket_size)
+    bands = bands.join(live.select("band", "sig"), ["band", "sig"])
     a = bands.select(F.col(id_col).alias("id_a"), "band", "sig")
     b = bands.select(F.col(id_col).alias("id_b"), "band", "sig")
     return (
@@ -169,33 +191,31 @@ def simhash64(df: DataFrame, id_col: str = "doc_id",
     hashes. bit_j(doc) = sign of sum over tokens of (2*bit_j(h(tok)) - 1),
     weighted by tf.
 
-    Scale: explode (doc, token-hash) then one groupBy(doc) with an array
-    aggregate — shuffle rows = total tokens, all JVM-side."""
+    Scale: explode (doc, token-hash) then ONE groupBy(doc) with ``bits``
+    scalar SUM aggregates (one per bit) — partial (map-side) aggregation
+    applies, so the shuffle carries one 60-long row per (doc, partition),
+    and the agg buffer per group is a fixed 60 longs regardless of document
+    length. (The previous collect_list formulation materialized
+    n_tokens x 60 longs per group before folding — ~48 MB for a 100k-token
+    doc; this shape is O(1) per group.)"""
     toks = with_tokens(df, text_col).select(
         F.col(id_col), F.explode("tokens").alias("tok")
     )
     th = toks.withColumn("h", hash60(F.col("tok")))
-    # per (doc, bit): sum of +-1 -> sign -> pack. Bit positions are Python
-    # ints (shiftright takes a literal shift), so build the array explicitly.
-    bit_contrib = F.array(
-        *[
+    # per bit j: sum over tokens of +-1, as `bits` independent scalar SUMs
+    # (bit positions are Python ints — shiftright takes a literal shift)
+    aggs = [
+        F.sum(
             (F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1)
             .cast("long")
-            for j in range(bits)
-        ]
-    )
-    per_tok = th.withColumn("bc", bit_contrib)
-    summed = per_tok.groupBy(id_col).agg(
-        F.aggregate(
-            F.collect_list("bc"),
-            F.array_repeat(F.lit(0).cast("long"), bits),
-            lambda acc, x: F.zip_with(acc, x, lambda a, c: a + c),
-        ).alias("sums")
-    )
+        ).alias(f"s{j}")
+        for j in range(bits)
+    ]
+    summed = th.groupBy(id_col).agg(*aggs)
     packed = None
     for j in range(bits):
         term = F.when(
-            F.element_at(F.col("sums"), j + 1) > 0, F.lit(1 << j).cast("long")
+            F.col(f"s{j}") > 0, F.lit(1 << j).cast("long")
         ).otherwise(F.lit(0).cast("long"))
         packed = term if packed is None else packed + term
     return summed.select(F.col(id_col), packed.alias("simhash"))
@@ -255,19 +275,11 @@ def ivf_centroids(n_cells: int, dims: int) -> list[list[float]]:
     ]
 
 
-def ivf_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
-             n_probe_ids: int | None = None, n_cells: int = 16,
-             id_col: str = "vec_id", vec_col: str = "embedding"
-             ) -> DataFrame:
-    """IVF-style ANN: assign each vector to the nearest of ``n_cells`` fixed
-    pseudo-random centroids (deterministic md5-derived), probe only the
-    query's cell neighborhood, exact-score within.
-
-    Scale path for brute-force cosine: the scan prunes to ~1/n_cells of the
-    table via partition pruning when the table is written partitioned by
-    cell id. Recall < 1 by construction; validated against cosine_topk in
-    tests (recall@10 threshold)."""
-    dims = len(query_vec)
+def ivf_assign(emb: DataFrame, n_cells: int = 16, dims: int = 64,
+               vec_col: str = "embedding") -> DataFrame:
+    """Add a ``cell`` column: index of the nearest of ``n_cells`` fixed
+    md5-derived centroids (cosine argmax, first-max tiebreak). Pure
+    Catalyst — one pass, no shuffle."""
     cents = ivf_centroids(n_cells, dims)
     vec_d = F.col(vec_col).cast("array<double>")
     sims = F.array(
@@ -276,7 +288,7 @@ def ivf_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
             for c in range(n_cells)
         ]
     )
-    assigned = (
+    return (
         emb.withColumn("_sims", sims)
         .withColumn(
             "cell",
@@ -285,21 +297,76 @@ def ivf_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
         )
         .drop("_sims")
     )
-    # query cell
+
+
+def probe_cells(query_vec: list[float], n_cells: int = 16,
+                n_probe: int | None = None) -> list[int]:
+    """The cells an IVF query probes: the ``n_probe`` (default n_cells/4)
+    centroids nearest to the query by cosine. Driver-side math over
+    n_cells x dims floats."""
     import numpy as np
 
+    cents = ivf_centroids(n_cells, len(query_vec))
     qv = np.array(query_vec, dtype=np.float64)
     qn = qv / (np.linalg.norm(qv) or 1.0)
     cell_sims = [
-        float(
-            np.dot(qn, np.array(c) / (np.linalg.norm(c) or 1.0))
-        )
+        float(np.dot(qn, np.array(c) / (np.linalg.norm(c) or 1.0)))
         for c in cents
     ]
     best = sorted(range(n_cells), key=lambda c: -cell_sims[c])
-    probe = best[: max(1, n_cells // 4)]
+    return best[: (n_probe or max(1, n_cells // 4))]
+
+
+def ivf_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
+             n_probe_ids: int | None = None, n_cells: int = 16,
+             id_col: str = "vec_id", vec_col: str = "embedding"
+             ) -> DataFrame:
+    """IVF-style ANN over an UNMATERIALIZED table: assign cells on the fly,
+    probe the query's neighborhood, exact-score within. This is the
+    SQL-oracle-checkable form (one plan, no side files); it scans the whole
+    table once (the assignment pass). The SCALE path is
+    ``ivf_write_partitioned`` + ``ivf_topk_partitioned``: assign ONCE at
+    write time, store partitionBy(cell), and let every query scan only the
+    probed cells via parquet partition pruning (~n_probe/n_cells of the
+    data). Recall < 1 by construction; validated against cosine_topk in
+    tests (recall@10 threshold)."""
+    dims = len(query_vec)
+    assigned = ivf_assign(emb, n_cells, dims, vec_col)
+    probe = probe_cells(query_vec, n_cells)
     pruned = assigned.filter(F.col("cell").isin(probe))
     return cosine_topk(pruned, query_vec, k, id_col, vec_col)
+
+
+def ivf_write_partitioned(emb: DataFrame, out_path: str, n_cells: int = 16,
+                          dims: int = 64, vec_col: str = "embedding") -> None:
+    """Materialize the IVF index: assign each vector once, write the table
+    hive-partitioned by cell. At 10^12 rows this is the one-time build cost
+    that turns every subsequent query's scan into a partition-pruned read of
+    ~n_probe/n_cells of the data."""
+    (
+        ivf_assign(emb, n_cells, dims, vec_col)
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(out_path)
+    )
+
+
+def ivf_topk_partitioned(spark, ivf_path: str, query_vec: list[float],
+                         k: int = 10, n_cells: int = 16,
+                         id_col: str = "vec_id", vec_col: str = "embedding"
+                         ) -> DataFrame:
+    """Query a materialized IVF table: the ``cell IN (probe)`` filter hits
+    the hive partition column, so Catalyst prunes unprobed cell directories
+    at planning time — the physical scan shows
+    ``PartitionFilters: [cell IN (...)]`` and reads only ~1/4 of the files
+    (asserted in tests/test_pipeline_scale.py). Identical results to
+    ``ivf_topk`` on the same data by construction (same centroids, same
+    probe rule, exact scoring within probed cells)."""
+    emb = spark.read.parquet(ivf_path)
+    probe = probe_cells(query_vec, n_cells)
+    return cosine_topk(
+        emb.filter(F.col("cell").isin(probe)), query_vec, k, id_col, vec_col
+    )
 
 
 # ---------------------------------------------------------------------------
