@@ -122,8 +122,9 @@ class TestBM25Parity:
 
 
 class TestWandParity:
-    """Block-max WAND must be EXACTLY the exhaustive BM25 engine's output —
-    pruning may only skip work, never change the top-k (scores included)."""
+    """The default bm25 engine IS block-max WAND; it must be EXACTLY the
+    full-decode exhaustive kernel's output (bm25_exhaustive) — pruning may
+    only skip work, never change the top-k (scores included)."""
 
     @pytest.mark.parametrize("q", QUERIES)
     def test_wand_equals_exhaustive(self, index, oracle, q):
@@ -134,13 +135,22 @@ class TestWandParity:
         for (u1, s1), (u2, s2) in zip(got, exp):
             assert s1 == pytest.approx(s2, abs=1e-12), (q, u1)
 
+    @pytest.mark.parametrize("q", QUERIES)
+    def test_exhaustive_engine_equals_oracle(self, index, oracle, q):
+        got = [(r["url"], r["score"])
+               for r in index.search(q, "bm25_exhaustive", k=10).collect()]
+        exp = oracle.bm25_search(q, k=10)
+        assert [u for u, _ in got] == [u for u, _ in exp], q
+        for (u1, s1), (u2, s2) in zip(got, exp):
+            assert s1 == pytest.approx(s2, abs=1e-12), (q, u1)
+
     @pytest.mark.parametrize("k", [1, 3, 100])
     def test_wand_k_sweep(self, index, k):
         q = "curso java"
         a = [(r["url"], r["score"])
-             for r in index.search(q, "bm25", k=k).collect()]
+             for r in index.search(q, "bm25_exhaustive", k=k).collect()]
         b = [(r["url"], r["score"])
-             for r in index.search(q, "bm25_wand", k=k).collect()]
+             for r in index.search(q, "bm25", k=k).collect()]
         assert a == b
 
 
@@ -175,8 +185,8 @@ class TestSearchMany:
              "xyzzynomatch", "curso web", "java java"]
 
     @pytest.mark.parametrize("engine",
-                             ["bm25", "bm25_wand", "bm25_or", "hits",
-                              "linear"])
+                             ["bm25", "bm25_wand", "bm25_exhaustive",
+                              "bm25_or", "hits", "linear"])
     def test_batch_equals_single(self, index, engine):
         batch = index.search_many(self.BATCH, engine, k=10).collect()
         by_qid: dict[int, list] = {}

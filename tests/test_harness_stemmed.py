@@ -1,0 +1,42 @@
+"""Pins for the vg_bm25_stemmed harness entry: the transcribed fallback stem
+mapping must equal the live stemmer output over the sf0.01 fixture
+vocabulary, and the query stems must match the production analyzer."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+
+@pytest.mark.skipif(
+    not os.path.exists("/root/testdata/sf0.01/documents.parquet"),
+    reason="driver testdata not present",
+)
+def test_fallback_mapping_matches_live():
+    from visigoth_spark import harness
+
+    live = harness._stem_mapping()
+    # re-derive the literal the same way the fallback embeds it
+    fallback = {
+        "a": "a", "agg": "agg", "batch": "batch", "big": "big",
+        "column": "column", "customer": "custom", "data": "dat",
+        "dup": "dup", "fast": "fast", "filter": "filt", "group": "group",
+        "hash": "hash", "join": "join", "key": "key", "line": "lin",
+        "merge": "merg", "order": "order", "part": "part", "query": "query",
+        "row": "row", "scan": "scan", "slow": "slow", "small": "small",
+        "sort": "sort", "spark": "spark", "stream": "stream",
+        "table": "tabl", "the": "the", "value": "valu", "vector": "vector",
+        "window": "window",
+    }
+    assert live == fallback
+
+
+def test_query_stems_match_analyzer():
+    from visigoth_spark.analysis import AnalyzerConfig, analyze_text
+    from visigoth_spark.harness import STEM_QUERY_STEMS
+
+    analyzer = AnalyzerConfig(stopwords=frozenset({"the", "a"}), stem=True)
+    assert tuple(sorted(set(analyze_text("tables data", analyzer)))) == (
+        STEM_QUERY_STEMS
+    )

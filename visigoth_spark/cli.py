@@ -106,8 +106,9 @@ def cmd_query(argv: list[str]) -> int:
     p = argparse.ArgumentParser(prog="cli query")
     p.add_argument("--index", required=True)
     p.add_argument("--engine", default="bm25",
-                   choices=["bm25", "bm25_wand", "bm25_or", "hits",
-                            "linear", "noop_zero", "noop_all"])
+                   choices=["bm25", "bm25_wand", "bm25_exhaustive",
+                            "bm25_or", "hits", "linear", "noop_zero",
+                            "noop_all"])
     p.add_argument("-k", type=int, default=10)
     p.add_argument("--no-stem", action="store_true")
     p.add_argument("query", nargs="+")

@@ -363,6 +363,126 @@ SQL_NOOP_ZERO = (
 )
 
 
+def q_bm25_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full PRODUCTION path under driver correctness: build the real
+    compressed inverted index over the documents table with the Snowball
+    stemmer ON (stopwords {'the','a'} so the oracle can mirror them), then
+    run the default block-max-WAND bm25 engine for the query
+    "tables data" — 'tables' does not occur raw in the corpus and matches
+    docs containing 'table' only via the shared stem 'tabl' (and
+    'data'->'dat'). The oracle SQL reproduces the analysis with a
+    transcribed (token -> stem) mapping table generated by stemmer_es over
+    the fixture vocabulary, so a hash match driver-checks the real Snowball
+    analyzer + codec + WAND kernel end-to-end, not a relational twin."""
+    import os
+    import tempfile
+
+    from visigoth_spark.analysis import AnalyzerConfig
+    from visigoth_spark.build import build_index
+    from visigoth_spark.query import SearchIndex
+
+    analyzer = AnalyzerConfig(stopwords=frozenset({"the", "a"}), stem=True)
+    docs = _docs(spark, sf_dir).select(
+        F.format_string("doc-%012d", F.col("doc_id")).alias("url"), "text"
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="vg_stem_harness_"), "idx")
+    build_index(spark, docs, out, analyzer=analyzer, num_partitions=4)
+    idx = SearchIndex(spark, out, analyzer=analyzer)
+    res = idx.search("tables data", engine="bm25", k=10)
+    return res.select(
+        F.expr("cast(substring(url, 5, 12) as bigint)").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+STEM_QUERY_STEMS = ("dat", "tabl")  # analyze("tables data") under Snowball-es
+
+
+def _stem_mapping() -> dict[str, str]:
+    """(token -> Snowball-es stem) for the sf0.01 fixture vocabulary,
+    computed live from the testdata when readable (31 tokens), else the
+    transcribed literal (pinned equal by tests/test_harness_stemmed.py)."""
+    fallback = {
+        "a": "a", "agg": "agg", "batch": "batch", "big": "big",
+        "column": "column", "customer": "custom", "data": "dat",
+        "dup": "dup", "fast": "fast", "filter": "filt", "group": "group",
+        "hash": "hash", "join": "join", "key": "key", "line": "lin",
+        "merge": "merg", "order": "order", "part": "part", "query": "query",
+        "row": "row", "scan": "scan", "slow": "slow", "small": "small",
+        "sort": "sort", "spark": "spark", "stream": "stream",
+        "table": "tabl", "the": "the", "value": "valu", "vector": "vector",
+        "window": "window",
+    }
+    try:
+        import duckdb
+
+        from visigoth_spark.stemmer_es import stem_vocab
+
+        vocab = {
+            r[0]
+            for r in duckdb.sql(
+                "WITH toks AS (SELECT unnest(regexp_split_to_array("
+                "lower(text), '[^\\p{L}\\p{N}]+')) AS t FROM read_parquet("
+                "'/root/testdata/sf0.01/documents.parquet')) "
+                "SELECT DISTINCT t FROM toks WHERE t <> ''"
+            ).fetchall()
+        }
+        return stem_vocab(vocab)
+    except Exception:
+        return fallback
+
+
+def _sql_bm25_stemmed() -> str:
+    mapping = _stem_mapping()
+    vals = ",\n        ".join(
+        f"('{t}', '{s}')" for t, s in sorted(mapping.items())
+    )
+    stems = ", ".join(f"'{s}'" for s in STEM_QUERY_STEMS)
+    return f"""
+WITH m(tok, stem) AS (VALUES
+        {vals}
+),
+raw AS (
+    SELECT doc_id, t FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(lower(text), '[^\\p{{L}}\\p{{N}}]+'))
+                   AS t
+        FROM documents
+    ) WHERE t <> '' AND t NOT IN ('the', 'a')
+),
+st AS (
+    SELECT raw.doc_id, COALESCE(m.stem, raw.t) AS s
+    FROM raw LEFT JOIN m ON raw.t = m.tok
+),
+stats AS (
+    SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+           COUNT(*) * 1.0 / (SELECT COUNT(*) FROM documents) AS avgdl
+    FROM st
+),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM st GROUP BY doc_id),
+tf AS (
+    SELECT doc_id, s, COUNT(*) AS tf FROM st
+    WHERE s IN ({stems}) GROUP BY doc_id, s
+),
+dfs AS (SELECT s, COUNT(*) AS df FROM tf GROUP BY s)
+SELECT doc_id, score FROM (
+    SELECT tf.doc_id,
+           ROUND(SUM(
+               LN((stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5) + 1.0)
+               * (tf.tf * (1.2 + 1.0))
+               / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+           ), 6) AS score,
+           COUNT(*) AS nt
+    FROM tf JOIN dfs USING (s) JOIN dl ON tf.doc_id = dl.doc_id, stats
+    GROUP BY tf.doc_id
+) WHERE nt = {len(STEM_QUERY_STEMS)}
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
+SQL_BM25_STEMMED = _sql_bm25_stemmed()
+
+
 # ---------------------------------------------------------------------------
 # Dedup / similarity / text-analysis queries
 # ---------------------------------------------------------------------------
@@ -702,6 +822,7 @@ QUERIES = {
     "vg_term_df": q_term_df,
     "vg_doclen_stats": q_doclen_stats,
     "vg_bm25_topk": q_bm25_topk,
+    "vg_bm25_stemmed": q_bm25_stemmed,
     "vg_bm25_or_topk": q_bm25_or_topk,
     "vg_hits_duplicate_tokens": q_hits_duplicate_tokens,
     "vg_missing_term_early_exit": q_missing_term_early_exit,
@@ -726,6 +847,7 @@ ORACLES = {
     "vg_term_df": SQL_TERM_DF,
     "vg_doclen_stats": SQL_DOCLEN_STATS,
     "vg_bm25_topk": SQL_BM25,
+    "vg_bm25_stemmed": SQL_BM25_STEMMED,
     "vg_bm25_or_topk": SQL_BM25_OR,
     "vg_hits_duplicate_tokens": SQL_HITS_DUP,
     "vg_missing_term_early_exit": SQL_MISSING_TERM,

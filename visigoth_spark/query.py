@@ -49,10 +49,15 @@ RESULT_KERNEL_SCHEMA = "docid long, score double, hits int"
 # ≙ the EngineType enum (search_search.go:5-22). `SmartsHits` is declared but
 # unimplemented in the reference — our bm25/bm25_wand engines occupy that
 # slot rather than inventing semantics for it.
+# `bm25` IS the block-max WAND path (skip-pointer decode + UB pruning);
+# `bm25_exhaustive` keeps the full-decode kernel as the in-repo test oracle
+# (TestWandParity pins bit-identical scores between the two).
 ENGINES = frozenset(
-    {"bm25", "bm25_wand", "bm25_or", "hits", "linear", "noop_zero",
-     "noop_all"}
+    {"bm25", "bm25_wand", "bm25_exhaustive", "bm25_or", "hits", "linear",
+     "noop_zero", "noop_all"}
 )
+
+_AND_BM25 = ("bm25", "bm25_wand", "bm25_exhaustive")
 
 
 class SearchIndex:
@@ -172,8 +177,9 @@ class SearchIndex:
     def search(self, query: str, engine: str = "bm25", k: int | None = 10
                ) -> DataFrame:
         """Returns a DataFrame (url, docid, score, hits) ordered by the
-        engine's contract. Engines: bm25 | bm25_wand | hits | linear |
-        noop_zero | noop_all."""
+        engine's contract. Engines: bm25 (= block-max WAND) | bm25_wand
+        (alias) | bm25_exhaustive (full-decode test oracle) | bm25_or |
+        hits | linear | noop_zero | noop_all."""
         if engine not in ENGINES:
             raise ValueError(
                 f"unknown engine {engine!r}; expected one of {sorted(ENGINES)}"
@@ -194,7 +200,7 @@ class SearchIndex:
         multiplicity = {t: tokens.count(t) for t in terms}
 
         dfs = self.term_df(terms)
-        if engine in ("linear", "bm25", "bm25_wand") and any(
+        if (engine == "linear" or engine in _AND_BM25) and any(
             dfs[t] == 0 for t in terms
         ):
             return self._empty_result()  # AND with a missing term
@@ -275,7 +281,7 @@ class SearchIndex:
         kernels: list[tuple[int, object]] = []
         for qid, p in sorted(plans.items()):
             terms = p["terms"]
-            if engine in ("linear", "bm25", "bm25_wand") and any(
+            if (engine == "linear" or engine in _AND_BM25) and any(
                 dfs[t] == 0 for t in terms
             ):
                 continue
@@ -614,7 +620,10 @@ def _make_kernel(engine: str, terms: list[str], multiplicity: dict[str, int],
     value (broadcast with the task closure — a few floats per query term)."""
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        if engine == "bm25_wand":
+        if engine in ("bm25", "bm25_wand"):
+            # the DEFAULT bm25 path: block-max WAND (skip-pointer decode of
+            # non-rarest terms + upper-bound pruning); bit-identical to the
+            # exhaustive kernel below (TestWandParity)
             return _wand_kernel_body(pdf, terms, dfs or {}, idf, avgdl, k)
         if engine == "bm25_or":
             return _or_kernel_body(pdf, terms, idf, avgdl, k)
@@ -657,8 +666,9 @@ def _make_kernel(engine: str, terms: list[str], multiplicity: dict[str, int],
                  "hits": np.full(len(cand), threshold, dtype=np.int32)}
             )
 
-        # bm25 / bm25_wand: exact scoring of the AND candidates, summation
-        # in sorted-term order for float64 determinism vs the oracle
+        # bm25_exhaustive: full-decode exact scoring of the AND candidates —
+        # the in-repo oracle for the WAND path; summation in sorted-term
+        # order for float64 determinism vs the oracle
         score = np.zeros(len(cand), dtype=np.float64)
         for t in terms:  # `terms` is sorted
             ids, tfs, dls = decoded[t]
