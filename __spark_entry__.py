@@ -40,7 +40,7 @@ def _ship_package(spark: SparkSession) -> None:
     with zipfile.ZipFile(zpath, "w") as z:
         for root, _, files in os.walk(pkg_dir):
             for fn in files:
-                if fn.endswith(".py"):
+                if fn.endswith((".py", ".txt")):  # .txt: packaged data
                     full = os.path.join(root, fn)
                     z.write(full, os.path.relpath(full, _REPO))
     spark.sparkContext.addPyFile(zpath)

@@ -217,9 +217,114 @@ def pair_main() -> None:
     print("PAIR_RESULT " + json.dumps(out))
 
 
+def resume_child_main(out_dir: str) -> None:
+    """Subprocess body: one batched (n_batches=8) resumable build at
+    CORES_HI. Run twice by the parent: first killed mid-build, then again
+    with resume=True completing only the remaining batches."""
+    from visigoth_spark.build import build_index
+
+    sf = parse_sf(SF_DIR)
+    n_docs = max(2_000, int(sf * DOCS_PER_SF))
+    corpus_path = get_corpus_path(n_docs)
+    spark = make_session(CORES_HI, CORES_HI * 4)
+    spark.sparkContext.setLogLevel("ERROR")
+    build_index(
+        spark, spark.read.parquet(corpus_path), out_dir,
+        num_partitions=CORES_HI * 2, assume_sorted=True, n_batches=8,
+        resume=True,
+    )
+    print("RESUME_CHILD_DONE")
+
+
+def _segments_digest(idx_dir: str) -> str:
+    """Content digest of ALL posting segments (sorted rows, not file bytes —
+    parquet metadata differs run to run). Equality means the resumed build
+    produced byte-identical postings to the cold build."""
+    import hashlib
+
+    import pyarrow.dataset as ds
+
+    data = ds.dataset(os.path.join(idx_dir, "data"), format="parquet",
+                      partitioning="hive")
+    tbl = data.to_table(
+        columns=["term", "bucket", "min_docid", "blob", "skips"],
+        filter=ds.field("kind") == "s",
+    )
+    rows = sorted(
+        zip(tbl["term"].to_pylist(), tbl["bucket"].to_pylist(),
+            tbl["min_docid"].to_pylist(), tbl["blob"].to_pylist(),
+            tbl["skips"].to_pylist())
+    )
+    h = hashlib.md5()
+    for term, bucket, mind, blob, skips in rows:
+        h.update(f"{term}|{bucket}|{mind}|".encode())
+        h.update(blob)
+        h.update(skips)
+    return h.hexdigest()
+
+
+def resume_measurement() -> dict:
+    """North-rule resumability at bench scale: cold 8-batch build (timed),
+    then the same build SIGKILLed mid-way and resumed from its per-batch
+    checkpoints (resume timed), then a content-identity check of every
+    posting segment between the two indexes."""
+    import signal
+    import subprocess
+
+    tmp = tempfile.mkdtemp(prefix="vg_resume_", dir="/dev/shm")
+    cold_dir = os.path.join(tmp, "cold")
+    res_dir = os.path.join(tmp, "res")
+
+    def child(out):
+        return subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__),
+             "--resume-child", out],
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+            text=True, cwd=_REPO,
+        )
+
+    t0 = time.time()
+    p = child(cold_dir)
+    p.wait()
+    cold_wall = time.time() - t0
+
+    kill_after = max(3.0, cold_wall * 0.5)
+    p = child(res_dir)
+    time.sleep(kill_after)
+    killed = p.poll() is None
+    if killed:
+        p.send_signal(signal.SIGKILL)
+        p.wait()
+    manifests = os.path.join(res_dir, "_manifests")
+    batches_done = (
+        len([f for f in os.listdir(manifests) if f.startswith("batch_")])
+        if os.path.isdir(manifests) else 0
+    )
+    t0 = time.time()
+    p = child(res_dir)
+    p.wait()
+    resume_wall = time.time() - t0
+
+    identical = _segments_digest(cold_dir) == _segments_digest(res_dir)
+    out = {
+        "batches": 8,
+        "cold_batched_wall": round(cold_wall, 2),
+        "killed_after_sec": round(kill_after, 2),
+        "batches_committed_at_kill": batches_done,
+        "resume_wall": round(resume_wall, 2),
+        "was_killed_midway": killed,
+        "segments_identical_to_cold": identical,
+    }
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     if "--pair" in sys.argv:
         pair_main()
+        return
+    if "--resume-child" in sys.argv:
+        resume_child_main(sys.argv[sys.argv.index("--resume-child") + 1])
         return
     sf = parse_sf(SF_DIR)
     n_docs = max(2_000, int(sf * DOCS_PER_SF))
@@ -280,6 +385,9 @@ def main() -> None:
     cpu_work_invariance = (
         cpu_ratios[len(cpu_ratios) // 2] if cpu_ratios else None
     )
+
+    # --- resumability at bench scale (north-rule checkpoint evidence) ------
+    resume_info = resume_measurement()
 
     # index for the query suite: built fresh in THIS process (untimed)
     tmp_hi = tempfile.mkdtemp(prefix="vg_bench_q_", dir="/dev/shm")
@@ -376,6 +484,7 @@ def main() -> None:
         "bm25_latency": {"p50": round(p50, 4), "p95": round(p95, 4)},
         "batch": {"queries": len(batch_qs), "wall": round(batch_wall, 3),
                   "qps": round(batch_qps, 1)},
+        "resume": resume_info,
         "index": index_info,
     }
     write_bench_md(result)
@@ -403,6 +512,9 @@ pairs in the JSON. Details + host-noise evidence: BASELINE.md.
 | batched query throughput | {r['batch']['qps']} q/s | search_many: {r['batch']['queries']} queries in ONE job ({r['batch']['wall']} s) |
 | posting blob bytes/posting | {r['index']['bytes_per_posting']} | delta+varbyte incl. tf+doclen streams |
 | index blob / corpus bytes | {r['index']['blob_to_corpus_ratio']} | {r['index']['bytes_blob']} / {r['index']['corpus_bytes']} |
+| batched (8-checkpoint) cold build wall | {r['resume']['cold_batched_wall']} s | n_batches=8, local[{b['cores_hi']}] |
+| kill+resume: resumed-build wall | {r['resume']['resume_wall']} s | SIGKILL at {r['resume']['killed_after_sec']} s ({r['resume']['batches_committed_at_kill']}/8 batches committed); resume completes only the rest |
+| resumed ≡ cold segments | {r['resume']['segments_identical_to_cold']} | content digest over every posting segment row |
 
 Per-query latencies (sec): {json.dumps(r['queries'], indent=0)}
 """

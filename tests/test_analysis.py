@@ -172,3 +172,61 @@ class TestExtractor:
             b"<body><p>body</p></body></html>"
         )
         assert extract_text(html) == "t\nbody"
+
+
+class TestAnalyzeFlatIdentity:
+    """analyze_flat (Arrow/RE2 build path) must be token-identical to
+    analyze_series (regex-module query path) — the index and the query
+    MUST see the same analyzer (index_memory_index.go:45,63)."""
+
+    def _check(self, texts, cfg):
+        import numpy as np
+        import pandas as pd
+
+        from visigoth_spark.analysis import analyze_flat, analyze_series
+
+        s = pd.Series(texts)
+        lists = analyze_series(s, cfg)
+        flat_ref = [t for lst in lists for t in lst]
+        lens_ref = np.array([len(lst) for lst in lists], dtype=np.int64)
+        terms, lens = analyze_flat(s, cfg)
+        assert (lens == lens_ref).all()
+        assert terms.to_pylist() == flat_ref
+
+    def test_golden_inputs_default_analyzer(self):
+        from visigoth_spark.analysis import DEFAULT_ANALYZER
+
+        texts = [
+            "", "   ", None, "Hola, ¿qué tal? ¡Bien!",
+            "León año 2024: ñoño—güero", "Programación de cursos en Java",
+            "日本語 テスト 中文", "ПРИВЕТ мир", "ends with stopword de",
+            "de la el en", "tab\tnew\nline", "..", "x",
+        ]
+        self._check(texts, DEFAULT_ANALYZER)
+
+    def test_sql_safe_analyzer(self):
+        from visigoth_spark.analysis import SQL_SAFE_ANALYZER
+
+        texts = ["The spark join a table", "a the a", "", "no stopwords"]
+        self._check(texts, SQL_SAFE_ANALYZER)
+
+    def test_fuzz_identity(self):
+        import random
+
+        from visigoth_spark.analysis import DEFAULT_ANALYZER
+
+        random.seed(7)
+        alphabet = "abcéñqu 日ü.,!?19-_\t\ndelasción"
+        texts = [
+            "".join(random.choice(alphabet)
+                    for _ in range(random.randint(0, 120)))
+            for _ in range(500)
+        ]
+        self._check(texts, DEFAULT_ANALYZER)
+
+    def test_custom_pattern_fallback(self):
+        from visigoth_spark.analysis import AnalyzerConfig
+
+        cfg = AnalyzerConfig(keep_pattern=r"[a-z]+", stem=False,
+                             stopwords=frozenset())
+        self._check(["abc123def", "UPPER lower", ""], cfg)

@@ -23,7 +23,6 @@ into /root/reference.
 __version__ = "0.1.0"
 
 import os as _os
-import tempfile as _tempfile
 import zipfile as _zipfile
 
 _SHIPPED_SESSIONS: set[int] = set()
@@ -49,22 +48,28 @@ def ensure_shipped(spark) -> None:
     srcs = []
     for root, _, files in _os.walk(pkg_dir):
         for fn in files:
-            if fn.endswith(".py"):
+            if fn.endswith((".py", ".txt")):  # .txt: packaged data files
                 srcs.append(_os.path.join(root, fn))
     for full in sorted(srcs):
         h.update(full.encode())
         with open(full, "rb") as f:
             h.update(f.read())
+    # per-user 0700 cache dir, NOT world-writable /tmp: a predictable path
+    # in a shared tmp would let another local user pre-plant a zip that
+    # addPyFile then ships to executors (classic /tmp TOCTOU)
+    cache_dir = _os.path.join(
+        _os.path.expanduser("~"), ".cache", "visigoth_spark"
+    )
+    _os.makedirs(cache_dir, mode=0o700, exist_ok=True)
     zpath = _os.path.join(
-        _tempfile.gettempdir(),
-        f"visigoth_spark_pkg_{h.hexdigest()[:12]}.zip",
+        cache_dir, f"visigoth_spark_pkg_{h.hexdigest()[:12]}.zip"
     )
     if not _os.path.exists(zpath):
         tmp = zpath + ".tmp"
         with _zipfile.ZipFile(tmp, "w") as z:
             for root, _, files in _os.walk(pkg_dir):
                 for fn in files:
-                    if fn.endswith(".py"):
+                    if fn.endswith((".py", ".txt")):
                         full = _os.path.join(root, fn)
                         rel = _os.path.join(
                             "visigoth_spark",

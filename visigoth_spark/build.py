@@ -63,7 +63,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from visigoth_spark.analysis import AnalyzerConfig, DEFAULT_ANALYZER, analyze_series
+from visigoth_spark.analysis import AnalyzerConfig, DEFAULT_ANALYZER, analyze_flat
 from visigoth_spark.codec import encode_groups
 
 # one fused output schema: segment rows (kind='s') + docmap rows (kind='d').
@@ -72,12 +72,12 @@ from visigoth_spark.codec import encode_groups
 OUT_SCHEMA = (
     "kind string, bucket int, term string, df_seg int, sum_tf long, "
     "min_docid long, max_docid long, blob binary, skips binary, "
-    "docid long, url string, doclen int"
+    "docid long, url string, doclen int, raw string"
 )
 
 _SEG_COLS = ["term", "df_seg", "sum_tf", "min_docid", "max_docid",
              "blob", "skips"]
-_DOC_COLS = ["docid", "url", "doclen"]
+_DOC_COLS = ["docid", "url", "doclen", "raw"]
 
 
 @dataclass
@@ -90,11 +90,16 @@ class BuildMetrics:
     wall_sec: float = 0.0
 
 
-def _ranged_corpus(corpus: DataFrame, num_partitions: int) -> DataFrame:
+def _ranged_corpus(corpus: DataFrame, num_partitions: int,
+                   extra_cols: tuple[str, ...] = ()) -> DataFrame:
     """Range-partition the corpus by url and sort within partitions — the
-    deterministic docid substrate. Only url/text/lang are shuffled; html is
-    pruned at the scan (Catalyst column pruning)."""
-    cols = [c for c in ("url", "text", "lang") if c in corpus.columns]
+    deterministic docid substrate. Only url/text/lang (+ a statement column
+    when requested) are shuffled; html is pruned at the scan (Catalyst
+    column pruning)."""
+    keep = ("url", "text", "lang") + tuple(
+        c for c in extra_cols if c not in ("url", "text", "lang")
+    )
+    cols = [c for c in keep if c in corpus.columns]
     return (
         corpus.select(*cols)
         .repartitionByRange(num_partitions, "url")
@@ -155,12 +160,13 @@ def _seg_frame(pairs: pd.DataFrame, bucket: int) -> pd.DataFrame:
             "docid": np.full(n, -1, dtype=np.int64),
             "url": np.full(n, "", dtype=object),
             "doclen": np.zeros(n, dtype=np.int32),
+            "raw": np.full(n, None, dtype=object),
         }
     )
 
 
 def _doc_frame(docids: np.ndarray, urls: np.ndarray, lens: np.ndarray,
-               bucket: int) -> pd.DataFrame:
+               bucket: int, raws: np.ndarray | None = None) -> pd.DataFrame:
     n = len(docids)
     return pd.DataFrame(
         {
@@ -176,18 +182,25 @@ def _doc_frame(docids: np.ndarray, urls: np.ndarray, lens: np.ndarray,
             "docid": docids,
             "url": urls,
             "doclen": lens.astype(np.int32),
+            "raw": (raws if raws is not None
+                    else np.full(n, None, dtype=object)),
         }
     )
 
 
 def _fused_generator(offsets: dict[int, int], analyzer: AnalyzerConfig,
-                     flush_docs: int = 500_000, bucket_base: int = 0):
+                     flush_docs: int = 500_000, bucket_base: int = 0,
+                     index_col: str = "text", raw_col: str | None = None):
     """mapInPandas fn: the whole per-partition build. Emits docmap rows as
     input batches stream through, accumulates (term, docid, tf, doclen)
     pairs, and encodes all of the partition's segments in one vectorized
     pass at the end (or every ``flush_docs`` docs — a flush splits terms
     into extra docid-disjoint segments, which query-time concatenation
-    already handles, so memory stays bounded for huge partitions)."""
+    already handles, so memory stays bounded for huge partitions).
+
+    ``index_col`` is what gets analyzed (the DocRequest *statement*,
+    entities_request.go:31-38); ``raw_col``, when set, is the stored
+    content hydrated into results as ``Doc.Raw`` (search_result.go:6-9)."""
 
     def gen(iterator):
         from pyspark import TaskContext
@@ -212,25 +225,27 @@ def _fused_generator(offsets: dict[int, int], analyzer: AnalyzerConfig,
             n = len(pdf)
             if n == 0:
                 continue
-            toks = analyze_series(pdf["text"], analyzer)
-            lens = np.fromiter((len(t) for t in toks), dtype=np.int64, count=n)
+            # flat-Arrow analysis: tokens stay in Arrow (RE2 split, is_in
+            # stopwords, vectorized stem take) — no per-token Python objects
+            terms_arr, lens = analyze_flat(pdf[index_col], analyzer)
             docids = np.arange(next_id, next_id + n, dtype=np.int64)
             next_id += n
+            raws = (pdf[raw_col].to_numpy(dtype=object)
+                    if raw_col is not None else None)
             yield _doc_frame(docids, pdf["url"].to_numpy(dtype=object),
-                             lens, bucket)
-            nz = lens > 0
-            if not nz.any():
+                             lens, bucket, raws)
+            if len(terms_arr) == 0:
                 continue
-            flat_terms = np.concatenate(
-                [np.asarray(t, dtype=object) for t, keep in zip(toks, nz)
-                 if keep]
-            )
-            flat_docids = np.repeat(docids[nz], lens[nz])
-            flat_doclens = np.repeat(lens[nz], lens[nz])
+            flat_docids = np.repeat(docids, lens)
+            flat_doclens = np.repeat(lens, lens)
             g = (
                 pd.DataFrame(
                     {
-                        "term": flat_terms,
+                        # Arrow-backed term column: groupby factorizes via
+                        # dictionary encoding in C (~2x the object path)
+                        "term": pd.Series(
+                            pd.arrays.ArrowExtensionArray(terms_arr)
+                        ),
                         "docid": flat_docids,
                         "doclen": flat_doclens,
                     }
@@ -263,8 +278,21 @@ def build_index(
     assume_sorted: bool = False,
     flush_docs: int = 500_000,
     n_buckets: int | None = None,  # accepted for API compat; bucket == pid
+    store_raw: bool = False,
+    statement_col: str | None = None,
 ) -> BuildMetrics:
     """Build (or resume) the inverted index at ``out_dir``.
+
+    ``store_raw``: store each document's content in the docmap so results
+    can hydrate ``Doc.Raw`` (≙ search_result.go:6-9 / the ``"raw"`` field of
+    search_result_easyjson.go:127-142). Off by default — at web scale the
+    stored-content sidecar doubles the write volume and most serving paths
+    hydrate from the source table instead.
+
+    ``statement_col``: the DocRequest content/statement split
+    (entities_request.go:31-38): when set, THIS column is analyzed/indexed
+    while ``text`` is only stored (implies ``store_raw``) — search matches
+    on the statement, results carry the content.
 
     ``assume_sorted``: the caller guarantees the corpus source is already
     globally sorted by url with partition order == url order (e.g. an
@@ -279,6 +307,8 @@ def build_index(
     import visigoth_spark
 
     visigoth_spark.ensure_shipped(spark)
+    index_col = statement_col or "text"
+    raw_col = "text" if (store_raw or statement_col) else None
     timing = os.environ.get("VISIGOTH_TIMING") == "1"
 
     def tick(label: str, since: list[float]) -> None:
@@ -313,12 +343,16 @@ def build_index(
             )
         except Exception:
             saved_mpb = None
-        cols = [c for c in ("url", "text", "lang") if c in corpus.columns]
+        keep = ("url", "text", "lang") + (
+            (statement_col,) if statement_col else ()
+        )
+        cols = [c for c in dict.fromkeys(keep) if c in corpus.columns]
         src = corpus.select(*cols)
     else:
         # the range shuffle samples boundaries nondeterministically, so the
         # partitioning must be pinned across passes -> persist
-        src = _ranged_corpus(corpus, P).persist()
+        extra = (statement_col,) if statement_col else ()
+        src = _ranged_corpus(corpus, P, extra).persist()
         persisted = True
     try:
         offsets = _partition_offsets(src)
@@ -353,7 +387,9 @@ def build_index(
                     "_pid", F.spark_partition_id()
                 ).filter(F.col("_pid").isin(batch_pids)).drop("_pid")
             fused = part.mapInPandas(
-                _fused_generator(offsets, analyzer, flush_docs), OUT_SCHEMA
+                _fused_generator(offsets, analyzer, flush_docs,
+                                 index_col=index_col, raw_col=raw_col),
+                OUT_SCHEMA,
             )
             # small row groups: segment files are term-sorted and docmap
             # files docid-sorted, so 4 MB row groups turn query-term and
@@ -367,18 +403,10 @@ def build_index(
             )
             tick(f"batch {bi}", tmark)
             # lineage + metrics from the written segment metadata (exact,
-            # no extra corpus pass)
-            seg_meta = (
-                spark.read.option("basePath", batch_path)
-                .parquet(os.path.join(batch_path, "kind=s"))
-                .agg(
-                    F.count("*").alias("n_segments"),
-                    F.sum("df_seg").alias("n_postings"),
-                    F.sum("sum_tf").alias("total_tokens"),
-                    F.sum(F.length("blob")).alias("bytes_blob"),
-                )
-                .collect()[0]
-            )
+            # no extra corpus pass). Read the batch ROOT filtered on kind so
+            # a batch with zero posting segments (all docs analyzed to zero
+            # tokens) doesn't raise on a missing kind=s partition dir.
+            seg_meta = _seg_meta(spark, batch_path)
             _write_manifest(
                 man_path, kind="batch", batch=bi,
                 partitions=batch_pids,
@@ -452,6 +480,8 @@ def build_index(
             "n_buckets": P,
             "n_batches": n_batches,
             "bm25": {"k1": 1.2, "b": 0.75},
+            "store_raw": raw_col is not None,
+            "statement_col": statement_col,
             "analyzer": {
                 "keep_pattern": analyzer.keep_pattern,
                 "lowercase": analyzer.lowercase,
@@ -471,6 +501,36 @@ def build_index(
             src.unpersist()
 
 
+def _seg_meta(spark: SparkSession, batch_path: str):
+    """Segment-metadata aggregate for one batch dir. Reads the batch ROOT
+    with the hive `kind` partition filter (tolerates an absent kind=s dir —
+    a batch whose docs all analyze to zero tokens writes only kind=d)."""
+    return (
+        spark.read.parquet(batch_path)
+        .filter(F.col("kind") == "s")
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.sum("df_seg").alias("n_postings"),
+            F.sum("sum_tf").alias("total_tokens"),
+            F.sum(F.length("blob")).alias("bytes_blob"),
+        )
+        .collect()[0]
+    )
+
+
+def _batch_manifests(out_dir: str) -> list[dict]:
+    """All committed batch manifests, sorted by batch number. These — not
+    stats.json — are the source of truth for docid/bucket allocation:
+    stats.json is a derived cache that a crash can leave stale."""
+    manifest_dir = os.path.join(out_dir, "_manifests")
+    out = []
+    for f in sorted(os.listdir(manifest_dir)):
+        if f.startswith("batch_") and f.endswith(".json"):
+            with open(os.path.join(manifest_dir, f)) as fh:
+                out.append(json.load(fh))
+    return sorted(out, key=lambda m: m["batch"])
+
+
 def append_index(
     spark: SparkSession,
     corpus: DataFrame,
@@ -478,6 +538,11 @@ def append_index(
     analyzer: AnalyzerConfig = DEFAULT_ANALYZER,
     num_partitions: int | None = None,
     flush_docs: int = 500_000,
+    store_raw: bool = False,
+    statement_col: str | None = None,
+    batch_id: int | None = None,
+    base_docid: int | None = None,
+    bucket_base: int | None = None,
 ) -> BuildMetrics:
     """Incrementally ingest ``corpus`` into an EXISTING index (or create it).
 
@@ -488,10 +553,26 @@ def append_index(
     (disjoint from every existing bucket), so query-time per-bucket kernels
     and cross-batch segment concatenation keep working unchanged.
 
+    Crash-safety / idempotence contract (single concurrent writer):
+    - ``batch_id`` / ``base_docid`` / ``bucket_base`` are derived from the
+      committed BATCH MANIFESTS, never from stats.json (a crash between the
+      batch write and the stats rewrite leaves stats stale; manifests are
+      written atomically and are the commit point).
+    - The batch parquet is written mode=overwrite to its final path. A crash
+      AFTER the parquet write but BEFORE the manifest leaves an orphan dir
+      whose batch number and docid range are exactly what the next append
+      (or an idempotent replay with pinned ``batch_id``/``base_docid`` —
+      see streaming.foreach_batch_indexer) will claim and overwrite — the
+      docid-disjoint-segment invariant cannot be violated by a partial
+      append. Queries in that window may see the orphan's postings with
+      slightly stale global stats; the next committed append heals both
+      (stats are recomputed from all manifests, not incremented).
+
     Ordering note: WITHIN each appended batch docids follow url order; ACROSS
-    batches they follow ingest order (the reference's semantics). The batch
-    build's global docid≡url equivalence therefore holds per batch, and
-    exact-score ranking is unaffected (BM25 stats are global).
+    batches they follow ingest order (the reference's semantics — its docids
+    are insertion-ordered too, so the (score DESC, docid ASC) tiebreak stays
+    rank-identical to the reference). Exact-score ranking is unaffected
+    (BM25 stats are global).
     """
     t0 = time.time()
     import visigoth_spark
@@ -500,17 +581,31 @@ def append_index(
     if not os.path.exists(os.path.join(out_dir, "stats.json")):
         return build_index(spark, corpus, out_dir, analyzer=analyzer,
                            num_partitions=num_partitions,
-                           flush_docs=flush_docs)
+                           flush_docs=flush_docs, store_raw=store_raw,
+                           statement_col=statement_col)
     stats = load_stats(out_dir)
-    base_docid = stats["n_docs"]
-    bucket_base = stats["n_buckets"]
+    manifests = _batch_manifests(out_dir)
+    if base_docid is None:
+        base_docid = max(
+            (m.get("docid_range", [0, 0])[1] for m in manifests),
+            default=stats["n_docs"],
+        )
+    if bucket_base is None:
+        bucket_base = max(
+            (max(m.get("buckets", [-1])) + 1 for m in manifests),
+            default=stats["n_buckets"],
+        )
+        bucket_base = max(bucket_base, stats["n_buckets"])
+    if batch_id is None:
+        batch_id = 1 + max(m["batch"] for m in manifests)
     manifest_dir = os.path.join(out_dir, "_manifests")
-    existing = [f for f in os.listdir(manifest_dir)
-                if f.startswith("batch_") and f.endswith(".json")]
-    next_batch = 1 + max(int(f[6:-5]) for f in existing)
+    index_col = statement_col or "text"
+    raw_col = "text" if (store_raw or statement_col
+                         or stats.get("store_raw")) else None
 
     P = num_partitions or spark.sparkContext.defaultParallelism * 2
-    src = _ranged_corpus(corpus, P).persist()
+    extra = (statement_col,) if statement_col else ()
+    src = _ranged_corpus(corpus, P, extra).persist()
     try:
         offsets = _partition_offsets(src)
         n_new = offsets.pop(-1)
@@ -519,9 +614,10 @@ def append_index(
         offsets = {pid: off + base_docid for pid, off in offsets.items()}
         P = len(offsets)
 
-        batch_path = os.path.join(out_dir, "data", f"batch={next_batch}")
+        batch_path = os.path.join(out_dir, "data", f"batch={batch_id}")
         fused = src.mapInPandas(
-            _fused_generator(offsets, analyzer, flush_docs, bucket_base),
+            _fused_generator(offsets, analyzer, flush_docs, bucket_base,
+                             index_col=index_col, raw_col=raw_col),
             OUT_SCHEMA,
         )
         (
@@ -530,22 +626,19 @@ def append_index(
             .partitionBy("kind")
             .parquet(batch_path)
         )
-        seg_meta = (
-            spark.read.option("basePath", batch_path)
-            .parquet(os.path.join(batch_path, "kind=s"))
-            .agg(
-                F.count("*").alias("n_segments"),
-                F.sum("df_seg").alias("n_postings"),
-                F.sum("sum_tf").alias("total_tokens"),
-                F.sum(F.length("blob")).alias("bytes_blob"),
-            ).collect()[0]
-        )
+        seg_meta = _seg_meta(spark, batch_path)
+        part_sizes = [offsets[p] for p in sorted(offsets)]
+        widths = [b - a for a, b in zip(part_sizes, part_sizes[1:])]
+        widths.append(base_docid + n_new - part_sizes[-1])
+        # commit point: the manifest makes the batch part of the index
         _write_manifest(
-            os.path.join(manifest_dir, f"batch_{next_batch}.json"),
-            kind="batch", batch=next_batch, appended=True,
+            os.path.join(manifest_dir, f"batch_{batch_id}.json"),
+            kind="batch", batch=batch_id, appended=True,
             partitions=sorted(offsets),
+            buckets=[bucket_base + i for i in range(P)],
             docid_range=[base_docid, base_docid + n_new],
             n_docs=n_new,
+            bucket_width=max(widths),
             n_segments=int(seg_meta["n_segments"] or 0),
             n_postings=int(seg_meta["n_postings"] or 0),
             total_tokens=int(seg_meta["total_tokens"] or 0),
@@ -573,19 +666,27 @@ def append_index(
         _write_manifest(os.path.join(manifest_dir, "termdict.json"),
                         kind="termdict", wall_sec=time.time() - t0)
 
-        new_tokens = int(seg_meta["total_tokens"] or 0)
-        stats["n_docs"] = base_docid + n_new
-        stats["total_tokens"] += new_tokens
+        # stats: RECOMPUTED from all committed manifests (idempotent under
+        # replay — a re-run of the same pinned batch converges, never
+        # double-counts), not incremented from the possibly-stale cache
+        manifests = _batch_manifests(out_dir)
+        stats["n_docs"] = max(m.get("docid_range", [0, 0])[1]
+                              for m in manifests)
+        stats["total_tokens"] = sum(m.get("total_tokens", 0)
+                                    for m in manifests)
         stats["avgdl"] = stats["total_tokens"] / stats["n_docs"]
-        stats["n_postings"] += int(seg_meta["n_postings"] or 0)
-        stats["n_segments"] += int(seg_meta["n_segments"] or 0)
-        stats["bytes_blob"] += int(seg_meta["bytes_blob"] or 0)
-        part_sizes = [offsets[p] for p in sorted(offsets)]
-        widths = [b - a for a, b in zip(part_sizes, part_sizes[1:])]
-        widths.append(base_docid + n_new - part_sizes[-1])
-        stats["bucket_width"] = max(stats["bucket_width"], *widths)
+        stats["n_postings"] = sum(m.get("n_postings", 0) for m in manifests)
+        stats["n_segments"] = sum(m.get("n_segments", 0) for m in manifests)
+        stats["bytes_blob"] = sum(m.get("bytes_blob", 0) for m in manifests)
+        stats["bucket_width"] = max(
+            [stats["bucket_width"]]
+            + [m["bucket_width"] for m in manifests if "bucket_width" in m]
+        )
         stats["n_buckets"] = bucket_base + P
-        stats["n_batches"] = next_batch + 1
+        stats["n_batches"] = len(manifests)
+        stats["store_raw"] = raw_col is not None or bool(
+            stats.get("store_raw")
+        )
         stats["built_at_sec"] = time.time()
         with open(os.path.join(out_dir, "stats.json"), "w") as f:
             json.dump(stats, f, indent=2)
@@ -594,7 +695,7 @@ def append_index(
             n_postings=int(seg_meta["n_postings"] or 0),
             n_segments=int(seg_meta["n_segments"] or 0),
             bytes_blob=int(seg_meta["bytes_blob"] or 0),
-            total_tokens=new_tokens,
+            total_tokens=int(seg_meta["total_tokens"] or 0),
             wall_sec=time.time() - t0,
         )
     finally:

@@ -80,6 +80,11 @@ def cmd_build(argv: list[str]) -> int:
                    help="corpus is url-sorted; skip the range shuffle")
     p.add_argument("--lang", default=None, help="filter to one language")
     p.add_argument("--no-stem", action="store_true")
+    p.add_argument("--store-raw", action="store_true",
+                   help="store document content for Doc.Raw hydration")
+    p.add_argument("--statement-col", default=None,
+                   help="index THIS column, store text as content "
+                        "(DocRequest statement/content split)")
     a = p.parse_args(argv)
 
     from visigoth_spark.analysis import AnalyzerConfig, DEFAULT_ANALYZER
@@ -91,7 +96,8 @@ def cmd_build(argv: list[str]) -> int:
     m = build_index(
         spark, _load_corpus(spark, a), a.out, analyzer=analyzer,
         num_partitions=a.partitions, n_batches=a.batches, resume=a.resume,
-        assume_sorted=a.sorted,
+        assume_sorted=a.sorted, store_raw=a.store_raw,
+        statement_col=a.statement_col,
     )
     print(json.dumps({
         "n_docs": m.n_docs, "n_postings": m.n_postings,
@@ -121,12 +127,17 @@ def cmd_query(argv: list[str]) -> int:
     analyzer = (AnalyzerConfig(stem=False) if a.no_stem else DEFAULT_ANALYZER)
     idx = SearchIndex(spark, a.index, analyzer=analyzer)
     t0 = time.time()
-    rows = idx.search(" ".join(a.query), a.engine, a.k).collect()
+    rows = idx.search(" ".join(a.query), a.engine, a.k,
+                      include_raw=idx.has_raw).collect()
     dt = time.time() - t0
-    # wire shape ≙ the reference's result JSON {"doc": {...}, "hits": n}
-    # (search_result_easyjson.go:72-93), extended with the BM25 score
+    # wire shape ≙ the reference's result JSON {"doc": {"id":…, "raw":…},
+    # "hits": n} (search_result_easyjson.go:127-142), extended with the
+    # BM25 score; "raw" present when the index stores document content
     for r in rows:
-        print(json.dumps({"doc": {"id": r["url"]}, "hits": r["hits"],
+        doc = {"id": r["url"]}
+        if idx.has_raw:
+            doc["raw"] = r["raw"]
+        print(json.dumps({"doc": doc, "hits": r["hits"],
                           "score": r["score"]}))
     print(f"# {len(rows)} results in {dt:.3f}s", file=sys.stderr)
     return 0

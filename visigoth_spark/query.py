@@ -80,9 +80,15 @@ class SearchIndex:
             "term", "bucket", "df_seg", "sum_tf", "min_docid", "max_docid",
             "blob", "skips",
         )
-        self._docmap = data.filter(F.col("kind") == "d").select(
-            "docid", "url", "doclen"
+        # Doc.Raw sidecar (search_result.go:6-9): present when the index
+        # was built with store_raw/statement_col
+        self.has_raw = bool(self.stats.get("store_raw")) and (
+            "raw" in data.columns
         )
+        doc_cols = ["docid", "url", "doclen"] + (
+            ["raw"] if self.has_raw else []
+        )
+        self._docmap = data.filter(F.col("kind") == "d").select(*doc_cols)
 
     def cache(self) -> "SearchIndex":
         """Pin the postings + docmap in executor memory (the warm-index
@@ -130,10 +136,13 @@ class SearchIndex:
         out.update({r["term"]: r["df"] for r in rows})
         return out
 
-    def _urls_for(self, ids: list[int]) -> dict[int, str]:
-        """docid -> url point lookup. Driver-side pruned read of the
+    def _docmap_for(self, ids: list[int], with_raw: bool = False
+                    ) -> dict[int, tuple[str, str | None]]:
+        """docid -> (url, raw) point lookup. Driver-side pruned read of the
         docid-sorted docmap files (row-group stats make this touch only the
         row groups covering the ids); Spark fallback otherwise."""
+        with_raw = with_raw and self.has_raw
+        cols = ["docid", "url"] + (["raw"] if with_raw else [])
         try:
             import pyarrow.dataset as ds
 
@@ -142,19 +151,30 @@ class SearchIndex:
                 partitioning="hive",
             )
             tbl = data.to_table(
-                columns=["docid", "url"],
+                columns=cols,
                 filter=(ds.field("kind") == "d") & ds.field("docid").isin(ids),
             )
-            got = dict(zip(tbl["docid"].to_pylist(), tbl["url"].to_pylist()))
+            raws = (tbl["raw"].to_pylist() if with_raw
+                    else [None] * len(tbl))
+            got = {
+                d: (u, r) for d, u, r in
+                zip(tbl["docid"].to_pylist(), tbl["url"].to_pylist(), raws)
+            }
             if len(got) == len(set(ids)):
                 return got
         except Exception:
             pass
+        rows = (
+            self._docmap.filter(F.col("docid").isin(ids))
+            .select(*cols).collect()
+        )
         return {
-            r["docid"]: r["url"]
-            for r in self._docmap.filter(F.col("docid").isin(ids))
-            .select("docid", "url").collect()
+            r["docid"]: (r["url"], r["raw"] if with_raw else None)
+            for r in rows
         }
+
+    def _urls_for(self, ids: list[int]) -> dict[int, str]:
+        return {d: u for d, (u, _) in self._docmap_for(ids).items()}
 
     def indexed(self, term: str) -> np.ndarray:
         """Posting-list lookup (≙ MemoryIndex.Indexed) — decoded docids."""
@@ -174,28 +194,38 @@ class SearchIndex:
         return self._docmap.filter(F.col("docid").isin([int(d) for d in docids]))
 
     # ---- engines ------------------------------------------------------------
-    def search(self, query: str, engine: str = "bm25", k: int | None = 10
-               ) -> DataFrame:
-        """Returns a DataFrame (url, docid, score, hits) ordered by the
-        engine's contract. Engines: bm25 (= block-max WAND) | bm25_wand
+    def search(self, query: str, engine: str = "bm25", k: int | None = 10,
+               include_raw: bool = False) -> DataFrame:
+        """Returns a DataFrame (url, docid, score, hits[, raw]) ordered by
+        the engine's contract. Engines: bm25 (= block-max WAND) | bm25_wand
         (alias) | bm25_exhaustive (full-decode test oracle) | bm25_or |
-        hits | linear | noop_zero | noop_all."""
+        hits | linear | noop_zero | noop_all.
+
+        ``include_raw`` hydrates the stored document content into a ``raw``
+        column (≙ Doc.Raw, search_result.go:6-9 / the "raw" field of
+        search_result_easyjson.go:127-142); requires an index built with
+        ``store_raw=True`` (raises otherwise)."""
         if engine not in ENGINES:
             raise ValueError(
                 f"unknown engine {engine!r}; expected one of {sorted(ENGINES)}"
             )
+        if include_raw and not self.has_raw:
+            raise ValueError(
+                "include_raw requires an index built with store_raw=True"
+            )
         if engine == "noop_zero":
-            return self._empty_result()
+            return self._empty_result(include_raw)
         if engine == "noop_all":
-            out = self._docmap.select(
-                "url", "docid", F.lit(0.0).alias("score"),
-                F.lit(0).alias("hits"),
-            ).orderBy("docid")
+            cols = ["url", "docid", F.lit(0.0).alias("score"),
+                    F.lit(0).alias("hits")]
+            if include_raw:
+                cols.append("raw")
+            out = self._docmap.select(*cols).orderBy("docid")
             return out.limit(k) if k is not None else out
 
         tokens = analyze_text(query, self.analyzer)
         if not tokens:
-            return self._empty_result()
+            return self._empty_result(include_raw)
         terms = sorted(set(tokens))
         multiplicity = {t: tokens.count(t) for t in terms}
 
@@ -203,9 +233,9 @@ class SearchIndex:
         if (engine == "linear" or engine in _AND_BM25) and any(
             dfs[t] == 0 for t in terms
         ):
-            return self._empty_result()  # AND with a missing term
+            return self._empty_result(include_raw)  # AND with a missing term
         if engine == "bm25_or" and all(dfs[t] == 0 for t in terms):
-            return self._empty_result()  # OR with no matching term at all
+            return self._empty_result(include_raw)  # OR, no matching term
 
         n_docs = self.stats["n_docs"]
         avgdl = self.stats["avgdl"]
@@ -234,26 +264,38 @@ class SearchIndex:
             # (two short jobs instead of one join over the whole docmap)
             top = ordered.limit(k).collect()
             if not top:
-                return self._empty_result()
+                return self._empty_result(include_raw)
             ids = [int(r["docid"]) for r in top]
-            url_of = self._urls_for(ids)
-            # docids are dense in url order, so the engine order on docid is
-            # already the (score DESC, url ASC) contract
-            return self.spark.createDataFrame(
-                [(url_of[r["docid"]], r["docid"], float(r["score"]),
-                  int(r["hits"])) for r in top],
-                "url string, docid long, score double, hits int",
-            )
+            doc_of = self._docmap_for(ids, with_raw=include_raw)
+            # Ordering contract: (score DESC, docid ASC) ≡ the reference's
+            # (score DESC, Document.ID ASC) — reference IDs are
+            # insertion-ordered (index_memory_index.go:44-60), and so are
+            # ours (dense in url order for a pure batch build; ingest order
+            # across appended batches — the same as the reference's).
+            # docid ≡ url order additionally holds for pure batch builds.
+            rows = [
+                (doc_of[r["docid"]][0], r["docid"], float(r["score"]),
+                 int(r["hits"])) + ((doc_of[r["docid"]][1],)
+                                    if include_raw else ())
+                for r in top
+            ]
+            schema = "url string, docid long, score double, hits int"
+            if include_raw:
+                schema += ", raw string"
+            return self.spark.createDataFrame(rows, schema)
         # unbounded result (k=None): stay fully distributed — broadcast the
         # ranked ids into the docmap join
+        out_cols = ["url", "docid", "score", "hits"] + (
+            ["raw"] if include_raw else []
+        )
         return (
             self._docmap.join(F.broadcast(ordered), "docid")
-            .select("url", "docid", "score", "hits")
+            .select(*out_cols)
             .orderBy(*_order_cols(engine))
         )
 
     def search_many(self, queries: list[str], engine: str = "bm25",
-                    k: int = 10) -> DataFrame:
+                    k: int = 10, include_raw: bool = False) -> DataFrame:
         """Batched top-k: run MANY queries in ONE Spark job. The postings
         scan covers the union of all queries' terms; the per-bucket kernel
         evaluates every query against the bucket; the driver merges each
@@ -261,10 +303,14 @@ class SearchIndex:
         point lookup. Amortizes the per-job scheduling cost that dominates
         single-query latency — the serving-throughput path.
 
-        Returns (qid, url, docid, score, hits), each qid's rows in the
-        engine's order. qid = position in ``queries``."""
+        Returns (qid, url, docid, score, hits[, raw]), each qid's rows in
+        the engine's order. qid = position in ``queries``."""
         if engine not in ENGINES or engine in ("noop_zero", "noop_all"):
             raise ValueError(f"unsupported batch engine {engine!r}")
+        if include_raw and not self.has_raw:
+            raise ValueError(
+                "include_raw requires an index built with store_raw=True"
+            )
         n_docs = self.stats["n_docs"]
         avgdl = self.stats["avgdl"]
         plans: dict[int, dict] = {}
@@ -276,7 +322,7 @@ class SearchIndex:
                 plans[qid] = {"tokens": tokens, "terms": terms}
                 all_terms.update(terms)
         if not plans:
-            return self._empty_batch_result()
+            return self._empty_batch_result(include_raw)
         dfs = self.term_df(sorted(all_terms))
         kernels: list[tuple[int, object]] = []
         for qid, p in sorted(plans.items()):
@@ -297,7 +343,7 @@ class SearchIndex:
                 threshold=len(p["tokens"]), k=k, dfs=dfs,
             )))
         if not kernels:
-            return self._empty_batch_result()
+            return self._empty_batch_result(include_raw)
         live_terms = sorted(
             {t for qid, _ in kernels for t in plans[qid]["terms"]}
         )
@@ -347,22 +393,29 @@ class SearchIndex:
             )
             ids.update(int(r["docid"]) for r in rows)
         if not results:
-            return self._empty_batch_result()
-        url_of = self._urls_for(sorted(ids))
+            return self._empty_batch_result(include_raw)
+        doc_of = self._docmap_for(sorted(ids), with_raw=include_raw)
+        schema = "qid int, url string, docid long, score double, hits int"
+        if include_raw:
+            schema += ", raw string"
         return self.spark.createDataFrame(
-            [(qid, url_of[d], d, s, h) for (qid, d, s, h) in results],
-            "qid int, url string, docid long, score double, hits int",
+            [(qid, doc_of[d][0], d, s, h)
+             + ((doc_of[d][1],) if include_raw else ())
+             for (qid, d, s, h) in results],
+            schema,
         )
 
-    def _empty_batch_result(self) -> DataFrame:
-        return self.spark.createDataFrame(
-            [], "qid int, url string, docid long, score double, hits int"
-        )
+    def _empty_batch_result(self, include_raw: bool = False) -> DataFrame:
+        schema = "qid int, url string, docid long, score double, hits int"
+        if include_raw:
+            schema += ", raw string"
+        return self.spark.createDataFrame([], schema)
 
-    def _empty_result(self) -> DataFrame:
-        return self.spark.createDataFrame(
-            [], "url string, docid long, score double, hits int"
-        )
+    def _empty_result(self, include_raw: bool = False) -> DataFrame:
+        schema = "url string, docid long, score double, hits int"
+        if include_raw:
+            schema += ", raw string"
+        return self.spark.createDataFrame([], schema)
 
 
 def _order_cols(engine: str):

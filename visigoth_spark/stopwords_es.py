@@ -1,73 +1,32 @@
-"""Spanish stopword list — data copied verbatim (it is a word list, not code)
-from the reference's ``analyze_stopwords_filter.go:6-8`` so stopword removal
-is list-identical.
+"""Spanish stopword list, loaded from the ``stopwords_es.txt`` data file —
+the list itself is data copied verbatim (a word list, not code) from the
+reference's ``analyze_stopwords_filter.go:6-8`` so stopword removal is
+list-identical.
 
-Notes pinned by the reference:
+Notes pinned by the reference (tests/test_analysis.py):
 - the list contains accented forms (``él``, ``más``, ``qué``) — removal runs
   AFTER lowercasing and BEFORE stemming (``index_memory_index_test.go:11-16``);
 - the two-word entry ``"por qué"`` can never match a single token (tokens are
   split on non-alphanumerics) — kept anyway for list identity.
+
+``pkgutil.get_data`` resolves the file both from a filesystem checkout and
+from the executor-side package zip shipped by ``ensure_shipped`` /
+``spark-submit --py-files``.
 """
 
-SPANISH_STOPWORDS = frozenset({
-    "algún", "alguna", "algunas", "alguno", "algunos", "ambos", "ampleamos",
-    "ante", "antes", "aquel", "aquellas", "aquellos", "aqui", "arriba",
-    "atras", "bajo", "bastante", "bien", "cada", "cierta", "ciertas",
-    "cierto", "ciertos", "como", "con", "conseguimos", "conseguir", "consigo",
-    "consigue", "consiguen", "consigues", "cual", "cuando", "dentro", "desde",
-    "donde", "dos", "el", "ellas", "ellos", "empleais", "emplean", "emplear",
-    "empleas", "empleo", "en", "encima", "entonces", "entre", "era", "eramos",
-    "eran", "eras", "eres", "es", "esta", "estaba", "estado", "estais",
-    "estamos", "estan", "estoy", "fin", "fue", "fueron", "fui", "fuimos",
-    "gueno", "ha", "hace", "haceis", "hacemos", "hacen", "hacer", "haces",
-    "hago", "incluso", "intenta", "intentais", "intentamos", "intentan",
-    "intentar", "intentas", "intento", "ir", "la", "largo", "las", "lo",
-    "los", "mientras", "mio", "modo", "muchos", "muy", "nos", "nosotros",
-    "otro", "para", "pero", "podeis", "podemos", "poder", "podria",
-    "podriais", "podriamos", "podrian", "podrias", "por", "por qué",
-    "porque", "primero", "puede", "pueden", "puedo", "quien", "sabe",
-    "sabeis", "sabemos", "saben", "saber", "sabes", "ser", "si", "siendo",
-    "sin", "sobre", "sois", "solamente", "solo", "somos", "soy", "su", "sus",
-    "también", "teneis", "tenemos", "tener", "tengo", "tiempo", "tiene",
-    "tienen", "todo", "trabaja", "trabajais", "trabajamos", "trabajan",
-    "trabajar", "trabajas", "trabajo", "tras", "tuyo", "ultimo", "un", "una",
-    "unas", "uno", "unos", "usa", "usais", "usamos", "usan", "usar", "usas",
-    "uso", "va", "vais", "valor", "vamos", "van", "vaya", "verdad",
-    "verdadera", "verdadero", "vosotras", "vosotros", "voy", "yo", "él",
-    "ésta", "éstas", "éste", "éstos", "última", "últimas", "último",
-    "últimos", "a", "añadió", "aún", "actualmente", "adelante", "además",
-    "afirmó", "agregó", "ahí", "ahora", "al", "algo", "alrededor",
-    "anterior", "apenas", "aproximadamente", "aquí", "así", "aseguró",
-    "aunque", "ayer", "buen", "buena", "buenas", "bueno", "buenos", "cómo",
-    "casi", "cerca", "cinco", "comentó", "conocer", "consideró", "considera",
-    "contra", "cosas", "creo", "cuales", "cualquier", "cuanto", "cuatro",
-    "cuenta", "da", "dado", "dan", "dar", "de", "debe", "deben", "debido",
-    "decir", "dejó", "del", "demás", "después", "dice", "dicen", "dicho",
-    "dieron", "diferente", "diferentes", "dijeron", "dijo", "dio", "durante",
-    "e", "ejemplo", "ella", "ello", "embargo", "encuentra", "esa", "esas",
-    "ese", "eso", "esos", "está", "están", "estaban", "estar", "estará",
-    "estas", "este", "esto", "estos", "estuvo", "ex", "existe", "existen",
-    "explicó", "expresó", "fuera", "gran", "grandes", "había", "habían",
-    "haber", "habrá", "hacerlo", "hacia", "haciendo", "han", "hasta", "hay",
-    "haya", "he", "hecho", "hemos", "hicieron", "hizo", "hoy", "hubo",
-    "igual", "indicó", "informó", "junto", "lado", "le", "les", "llegó",
-    "lleva", "llevar", "luego", "lugar", "más", "manera", "manifestó",
-    "mayor", "me", "mediante", "mejor", "mencionó", "menos", "mi", "misma",
-    "mismas", "mismo", "mismos", "momento", "mucha", "muchas", "mucho",
-    "nada", "nadie", "ni", "ningún", "ninguna", "ningunas", "ninguno",
-    "ningunos", "no", "nosotras", "nuestra", "nuestras", "nuestro",
-    "nuestros", "nueva", "nuevas", "nuevo", "nuevos", "nunca", "o", "ocho",
-    "otra", "otras", "otros", "parece", "parte", "partir", "pasada",
-    "pasado", "pesar", "poca", "pocas", "poco", "pocos", "podrá", "podrán",
-    "podría", "podrían", "poner", "posible", "próximo", "próximos", "primer",
-    "primera", "primeros", "principalmente", "propia", "propias", "propio",
-    "propios", "pudo", "pueda", "pues", "qué", "que", "quedó", "queremos",
-    "quién", "quienes", "quiere", "realizó", "realizado", "realizar",
-    "respecto", "sí", "sólo", "se", "señaló", "sea", "sean", "según",
-    "segunda", "segundo", "seis", "será", "serán", "sería", "sido",
-    "siempre", "siete", "sigue", "siguiente", "sino", "sola", "solas",
-    "solos", "son", "tal", "tampoco", "tan", "tanto", "tenía", "tendrá",
-    "tendrán", "tenga", "tenido", "tercera", "toda", "todas", "todavía",
-    "todos", "total", "trata", "través", "tres", "tuvo", "usted", "varias",
-    "varios", "veces", "ver", "vez", "y", "ya",
-})
+from __future__ import annotations
+
+import pkgutil
+
+
+def _load() -> frozenset[str]:
+    data = pkgutil.get_data("visigoth_spark", "stopwords_es.txt")
+    assert data is not None, "stopwords_es.txt missing from package"
+    return frozenset(
+        line
+        for line in data.decode("utf-8").splitlines()
+        if line and not line.startswith("#")
+    )
+
+
+SPANISH_STOPWORDS = _load()
