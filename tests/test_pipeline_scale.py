@@ -169,3 +169,48 @@ class TestIvfPartitioned:
         # random gaussian vectors + random centroids: recall well above the
         # 2/8-cells-scanned floor
         assert hits / (10 * n_q) >= 0.2
+
+
+class TestEmbeddingDup:
+    @pytest.fixture(scope="class")
+    def emb2(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(3)
+        base = rng.normal(size=(60, 16))
+        rows = [(i, [float(x) for x in base[i]]) for i in range(60)]
+        # 10 planted near-dups: tiny perturbations of vectors 0..9
+        for i in range(10):
+            v = base[i] + rng.normal(scale=0.03, size=16)
+            rows.append((100 + i, [float(x) for x in v]))
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+    def test_planted_pairs_found(self, spark, emb2):
+        pairs = P.embedding_dup_pairs(emb2, threshold=0.95, n_planes=16,
+                                      band_size=4, dims=16).collect()
+        got = {(r["id_a"], r["id_b"]) for r in pairs}
+        planted = {(i, 100 + i) for i in range(10)}
+        # LSH recall < 1 by construction; demand >= 70% of planted pairs
+        # and no false positives below the cosine threshold
+        assert len(got & planted) >= 7
+        for r in pairs:
+            assert r["cos"] >= 0.95
+
+    def test_bucket_cap_bounds_megacluster(self, spark, emb2):
+        import numpy as np
+
+        rng = np.random.default_rng(5)
+        v = rng.normal(size=16)
+        clones = [(200 + i, [float(x) for x in v]) for i in range(30)]
+        df = emb2.union(
+            emb2.sparkSession.createDataFrame(
+                clones, "vec_id long, embedding array<double>"
+            )
+        )
+        capped = P.embedding_dup_pairs(df, threshold=0.95, n_planes=16,
+                                       band_size=4, dims=16,
+                                       max_bucket_size=10).collect()
+        ids = {(r["id_a"], r["id_b"]) for r in capped}
+        assert not any(a >= 200 and b >= 200 for a, b in ids)

@@ -86,6 +86,13 @@ def analyze_flat(texts: pd.Series, cfg: AnalyzerConfig = DEFAULT_ANALYZER):
     import pyarrow as pa
     import pyarrow.compute as pc
 
+    # Arrow's internal compute pool defaults to ALL host cores; inside a
+    # Spark python worker that multiplies into workers x cores threads and
+    # thrashes (measured: the 8-worker build burned 2x the CPU of the
+    # 2-worker build). Spark owns the parallelism — Arrow runs single-thread.
+    if pa.cpu_count() != 1:
+        pa.set_cpu_count(1)
+
     if cfg.keep_pattern != _DEFAULT_KEEP or not cfg.lowercase:
         lists = analyze_series(texts, cfg)
         lens = np.fromiter((len(t) for t in lists), dtype=np.int64,

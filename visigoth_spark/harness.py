@@ -692,6 +692,82 @@ FROM documents
 """
 
 
+EMB_DUP_T = 0.42  # fixture max pairwise cos is 0.51; 0.42 -> 34 true pairs
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via sign-random-projection LSH
+    (16 md5-derived hyperplanes, 4 bands x 4 bits) + exact cosine within
+    buckets. The oracle SQL reproduces the identical hyperplanes as
+    literals, so both sides bucket — and miss — identically (LSH recall <1
+    is part of the contract; recall vs the exact O(n^2) join is pinned in
+    tests/test_pipeline_scale.py)."""
+    return P.embedding_dup_pairs(_emb(spark, sf_dir), threshold=EMB_DUP_T,
+                                 n_planes=16, band_size=4, dims=64)
+
+
+def _sql_dedup_embedding(n_planes: int = 16, band_size: int = 4,
+                         dims: int = 64) -> str:
+    planes = P.rh_planes(n_planes, dims)
+    plane_rows = ",\n        ".join(
+        "({}, [{}])".format(p, ", ".join(f"{x!r}" for x in planes[p]))
+        for p in range(n_planes)
+    )
+    n_bands = n_planes // band_size
+    sig_exprs = []
+    for bi in range(n_bands):
+        bits = " || ".join(
+            f"(CASE WHEN d{bi * band_size + o} >= 0 THEN '1' ELSE '0' END)"
+            for o in range(band_size)
+        )
+        sig_exprs.append(f"SELECT vec_id, {bi} AS band, {bits} AS sig FROM dots")
+    bands_sql = "\n    UNION ALL ".join(sig_exprs)
+    dot_cols = ",\n           ".join(
+        f"(SELECT list_dot_product(e.v, cv) FROM planes WHERE plane = {p}) "
+        f"AS d{p}"
+        for p in range(n_planes)
+    )
+    return f"""
+WITH planes(plane, cv) AS (VALUES
+        {plane_rows}
+),
+e AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+dots AS (
+    SELECT vec_id,
+           {dot_cols}
+    FROM e
+),
+bands AS (
+    {bands_sql}
+),
+live AS (
+    SELECT band, sig FROM bands GROUP BY band, sig
+    HAVING COUNT(*) BETWEEN 2 AND 10000
+),
+cb AS (SELECT bands.* FROM bands JOIN live USING (band, sig)),
+cand AS (
+    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM cb a JOIN cb b ON a.band = b.band AND a.sig = b.sig
+    WHERE a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cos FROM (
+    SELECT cand.id_a, cand.id_b,
+           ROUND(list_dot_product(ea.v, eb.v)
+                 / (SQRT(list_dot_product(ea.v, ea.v))
+                    * SQRT(list_dot_product(eb.v, eb.v))), 6) AS cos
+    FROM cand
+    JOIN e ea ON ea.vec_id = cand.id_a
+    JOIN e eb ON eb.vec_id = cand.id_b
+) WHERE cos >= {EMB_DUP_T}
+"""
+
+
+SQL_DEDUP_EMBEDDING = _sql_dedup_embedding()
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
@@ -832,6 +908,7 @@ QUERIES = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding": q_dedup_embedding,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
     "token_count": q_token_count,
@@ -857,6 +934,7 @@ ORACLES = {
     "dedup_ngram_jaccard": SQL_JACCARD,
     "dedup_minhash_lsh": SQL_MINHASH,
     "dedup_simhash": SQL_SIMHASH,
+    "dedup_embedding": SQL_DEDUP_EMBEDDING,
     "lang_id": SQL_LANG_ID,
     "quality_score": SQL_QUALITY,
     "token_count": SQL_TOKEN_COUNT,

@@ -369,6 +369,98 @@ def ivf_topk_partitioned(spark, ivf_path: str, query_vec: list[float],
     )
 
 
+def rh_planes(n_planes: int, dims: int) -> list[list[float]]:
+    """Deterministic md5-derived random hyperplanes in [-1, 1]^dims for
+    cosine LSH (sign-random-projection). Shared with the harness oracle SQL
+    (embedded as literals) so both sides bucket identically."""
+    import hashlib
+
+    return [
+        [
+            (int(hashlib.md5(f"rh{p}:{d}".encode()).hexdigest()[:8], 16)
+             / 0xFFFFFFFF) * 2.0 - 1.0
+            for d in range(dims)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def embedding_dup_pairs(emb: DataFrame, threshold: float = 0.9,
+                        n_planes: int = 16, band_size: int = 4,
+                        dims: int = 64, max_bucket_size: int | None = 10_000,
+                        id_col: str = "vec_id", vec_col: str = "embedding"
+                        ) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos) with
+    cos >= threshold, candidates generated by sign-random-projection LSH
+    (bit_p = sign of dot(v, plane_p); bands of ``band_size`` bits; docs
+    sharing any band bucket become candidates), exact cosine within buckets.
+
+    Scale: identical shape to minhash_lsh_pairs — per-band shuffle key is
+    the packed sign band, bucket sizes are near-dup clusters, the bucket cap
+    bounds the O(cluster^2) expansion, singleton buckets are dropped. Recall
+    < 1 by LSH construction (a pair can land in no common band); for
+    sign-LSH the miss probability at cos>=0.9 with 4 bands of 4 bits is
+    ~(1-(1-0.144)^4)^4 ~= 2%/band-config — tests pin recall vs the O(n^2)
+    exact join on a small fixture."""
+    planes = rh_planes(n_planes, dims)
+    vec_d = F.col(vec_col).cast("array<double>")
+    dots = [
+        F.aggregate(
+            F.zip_with(vec_d, F.array(*[F.lit(x) for x in planes[p]]),
+                       lambda a, b: a * b),
+            F.lit(0.0), lambda acc, v: acc + v,
+        )
+        for p in range(n_planes)
+    ]
+    n_bands = n_planes // band_size
+    band_sigs = [
+        F.concat_ws(
+            "",
+            *[
+                F.when(dots[bi * band_size + o] >= 0, F.lit("1"))
+                .otherwise(F.lit("0"))
+                for o in range(band_size)
+            ],
+        )
+        for bi in range(n_bands)
+    ]
+    # bands carry only (id, band, sig) — vectors do NOT ride the LSH
+    # shuffle; they join back onto the (much smaller) candidate pair set
+    bands = emb.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(bi).alias("band"),
+                             band_sigs[bi].alias("sig"))
+                    for bi in range(n_bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select(id_col, "bs.band", "bs.sig")
+    bsize = bands.groupBy("band", "sig").agg(F.count("*").alias("bn"))
+    live = bsize.filter(F.col("bn") >= 2)
+    if max_bucket_size is not None:
+        live = live.filter(F.col("bn") <= max_bucket_size)
+    bands = bands.join(live.select("band", "sig"), ["band", "sig"])
+    a = bands.select(F.col(id_col).alias("id_a"), "band", "sig")
+    b = bands.select(F.col(id_col).alias("id_b"), "band", "sig")
+    cand = (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = emb.select(F.col(id_col).alias("id_a"), vec_d.alias("va"))
+    vb = emb.select(F.col(id_col).alias("id_b"), vec_d.alias("vb"))
+    return (
+        cand.join(va, "id_a").join(vb, "id_b")
+        .withColumn("cos", F.round(cosine_sim(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
