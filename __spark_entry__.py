@@ -76,6 +76,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from visigoth_spark.harness import ORACLES
+    from visigoth_spark.harness import get_oracles
 
-    return dict(ORACLES)
+    return get_oracles()

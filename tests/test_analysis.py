@@ -230,3 +230,41 @@ class TestAnalyzeFlatIdentity:
         cfg = AnalyzerConfig(keep_pattern=r"[a-z]+", stem=False,
                              stopwords=frozenset())
         self._check(["abc123def", "UPPER lower", ""], cfg)
+
+
+class TestCaseMappingParity:
+    """The default analyzer lowercases with Arrow/utf8proc SIMPLE case
+    mapping — the same per-rune mapping as the reference's Go
+    unicode.ToLower (analyze_lowercase_filter.go) — NOT Python
+    str.lower()'s context-sensitive full mapping. Index and query sides
+    share the Arrow path, so the same-analyzer invariant is structural."""
+
+    def test_greek_final_sigma_matches_go_simple_mapping(self):
+        import pandas as pd
+
+        from visigoth_spark.analysis import AnalyzerConfig, analyze_text
+
+        cfg = AnalyzerConfig(stopwords=frozenset(), stem=False)
+        # Go: unicode.ToLower('Σ') -> 'σ' in every position (no final-sigma
+        # contextual rule); Python str.lower gives 'οδος'. We pin the Go/
+        # Arrow behavior on BOTH the build and the query path.
+        assert analyze_text("ΟΔΟΣ", cfg) == ["οδοσ"]
+
+    def test_index_query_identity_on_context_sensitive_chars(self, spark,
+                                                             tmp_path):
+        from visigoth_spark.analysis import AnalyzerConfig
+        from visigoth_spark.build import build_index
+        from visigoth_spark.query import SearchIndex
+
+        cfg = AnalyzerConfig(stopwords=frozenset(), stem=False)
+        rows = [("u1", "ΟΔΟΣ ΑΘΗΝΑ old street"),
+                ("u2", "İstanbul guide page")]
+        df = spark.createDataFrame(rows, "url string, text string")
+        out = str(tmp_path / "idx")
+        build_index(spark, df, out, analyzer=cfg, num_partitions=2)
+        idx = SearchIndex(spark, out, analyzer=cfg)
+        # query written with the SAME exotic uppercase must match the doc
+        assert [r["url"] for r in
+                idx.search("ΟΔΟΣ", "bm25", 5).collect()] == ["u1"]
+        assert [r["url"] for r in
+                idx.search("İstanbul", "bm25", 5).collect()] == ["u2"]

@@ -225,3 +225,46 @@ class TestStreamingEpochPinning:
         assert st["n_docs"] == 5  # not 6: replay overwrote its own batch
         idx = SearchIndex(spark, out, analyzer=NOSTEM)
         assert idx.search("zebra", "bm25", 10).count() == 1
+
+    def test_append_inherits_statement_col(self, spark, tmp_path):
+        rows = [("u1", "stored content one", "statement alpha database"),
+                ("u2", "stored content two", "statement beta index")]
+        df = spark.createDataFrame(
+            rows, "url string, text string, statement string"
+        )
+        out = str(tmp_path / "idx")
+        build_index(spark, df, out, analyzer=NOSTEM, num_partitions=2,
+                    statement_col="statement")
+        more = [("u3", "stored content three", "statement gamma database")]
+        append_index(
+            spark,
+            spark.createDataFrame(
+                more, "url string, text string, statement string"
+            ),
+            out, analyzer=NOSTEM, num_partitions=2,
+        )
+        idx = SearchIndex(spark, out, analyzer=NOSTEM)
+        # appended doc must be indexed on its STATEMENT (inherited split)
+        hit = idx.search("gamma", "bm25", 5, include_raw=True).collect()
+        assert [r["url"] for r in hit] == ["u3"]
+        assert hit[0]["raw"] == more[0][1]
+        # content vocabulary still not indexed
+        assert idx.search("three", "bm25", 5).count() == 0
+
+
+class TestStoreRawRetrofit:
+    def test_cannot_enable_store_raw_on_append(self, spark, tmp_path):
+        out = str(tmp_path / "idx")
+        rows = [(f"u{i}", f"plain doc {i}") for i in range(6)]
+        build_index(spark, _corpus_df(spark, rows), out, analyzer=NOSTEM,
+                    num_partitions=2)
+        with pytest.raises(ValueError, match="store_raw"):
+            append_index(spark, _corpus_df(spark, [("x", "more")]), out,
+                         analyzer=NOSTEM, num_partitions=2, store_raw=True)
+
+    def test_statement_col_validated_at_driver(self, spark, tmp_path):
+        rows = [("u1", "text only")]
+        df = _corpus_df(spark, rows)
+        with pytest.raises(ValueError, match="statement_col"):
+            build_index(spark, df, str(tmp_path / "i"), analyzer=NOSTEM,
+                        num_partitions=2, statement_col="nope")

@@ -94,7 +94,7 @@ def analyze_flat(texts: pd.Series, cfg: AnalyzerConfig = DEFAULT_ANALYZER):
         pa.set_cpu_count(1)
 
     if cfg.keep_pattern != _DEFAULT_KEEP or not cfg.lowercase:
-        lists = analyze_series(texts, cfg)
+        lists = _analyze_lists_python(texts, cfg)
         lens = np.fromiter((len(t) for t in lists), dtype=np.int64,
                            count=len(lists))
         flat = [t for lst in lists for t in lst]
@@ -133,14 +133,10 @@ def analyze_flat(texts: pd.Series, cfg: AnalyzerConfig = DEFAULT_ANALYZER):
     return kept, lens
 
 
-def analyze_series(texts: pd.Series, cfg: AnalyzerConfig = DEFAULT_ANALYZER) -> pd.Series:
-    """Analyze a batch of documents; returns a Series of list[str].
-
-    One regex pass for tokenization, one distinct-vocab dict for stemming —
-    no per-row Python UDF dispatch. This list-of-lists form serves the
-    query/golden-test side; the index build uses the faster flat-Arrow
-    ``analyze_flat`` (identity between the two is test-pinned).
-    """
+def _analyze_lists_python(texts: pd.Series, cfg: AnalyzerConfig) -> list[list[str]]:
+    """Regex-module analysis for CUSTOM keep-patterns (the pluggable A7
+    surface). NOTE: uses Python ``str.lower()`` — for the default pattern
+    the Arrow path below is authoritative instead (see analyze_series)."""
     s = texts.fillna("")
     if cfg.lowercase:
         s = s.str.lower()
@@ -152,13 +148,35 @@ def analyze_series(texts: pd.Series, cfg: AnalyzerConfig = DEFAULT_ANALYZER) -> 
         for lst in toks:
             vocab.update(lst)
         stems = stem_vocab(vocab.difference(sw))
-        out = [[stems[t] for t in lst if t not in sw] for lst in toks]
-    else:
-        if sw:
-            out = [[t for t in lst if t not in sw] for lst in toks]
-        else:
-            out = toks
-    return pd.Series(out, index=texts.index)
+        return [[stems[t] for t in lst if t not in sw] for lst in toks]
+    if sw:
+        return [[t for t in lst if t not in sw] for lst in toks]
+    return toks
+
+
+def analyze_series(texts: pd.Series, cfg: AnalyzerConfig = DEFAULT_ANALYZER) -> pd.Series:
+    """Analyze a batch of documents; returns a Series of list[str].
+
+    For the default keep-pattern this DELEGATES to the same Arrow path the
+    index build uses (``analyze_flat``) and just re-slices the flat token
+    stream into per-document lists — index-time and query-time analysis are
+    THE SAME CODE, so the same-analyzer invariant
+    (index_memory_index.go:45,63) holds by construction. (Python
+    ``str.lower()`` differs from Arrow/Go simple case mapping on
+    context-sensitive characters — Greek final sigma, Turkish İ — and the
+    reference's per-rune ``unicode.ToLower`` matches the SIMPLE mapping, so
+    the Arrow path is also the better parity choice.) Custom keep-patterns
+    use the regex-module path."""
+    if cfg.keep_pattern == _DEFAULT_KEEP and cfg.lowercase:
+        terms, lens = analyze_flat(texts, cfg)
+        vals = terms.to_pylist()
+        out: list[list[str]] = []
+        start = 0
+        for n in lens:
+            out.append(vals[start:start + int(n)])
+            start += int(n)
+        return pd.Series(out, index=texts.index)
+    return pd.Series(_analyze_lists_python(texts, cfg), index=texts.index)
 
 
 def analyze_text(text: str, cfg: AnalyzerConfig = DEFAULT_ANALYZER) -> list[str]:

@@ -307,6 +307,11 @@ def build_index(
     import visigoth_spark
 
     visigoth_spark.ensure_shipped(spark)
+    if statement_col is not None and statement_col not in corpus.columns:
+        raise ValueError(
+            f"statement_col {statement_col!r} not in corpus columns "
+            f"{corpus.columns}"
+        )
     index_col = statement_col or "text"
     raw_col = "text" if (store_raw or statement_col) else None
     timing = os.environ.get("VISIGOTH_TIMING") == "1"
@@ -599,6 +604,22 @@ def append_index(
     if batch_id is None:
         batch_id = 1 + max(m["batch"] for m in manifests)
     manifest_dir = os.path.join(out_dir, "_manifests")
+    if statement_col is None:
+        # inherit the index's statement/content split — an append must
+        # analyze the same column the original build did
+        statement_col = stats.get("statement_col")
+    if statement_col is not None and statement_col not in corpus.columns:
+        raise ValueError(
+            f"statement_col {statement_col!r} not in corpus columns "
+            f"{corpus.columns}"
+        )
+    if (store_raw or statement_col) and not stats.get("store_raw"):
+        # retrofitting raw onto an index whose existing documents have no
+        # stored content would make include_raw silently return null for
+        # every pre-existing doc — refuse; rebuild with store_raw instead
+        raise ValueError(
+            "cannot enable store_raw on an existing index built without it"
+        )
     index_col = statement_col or "text"
     raw_col = "text" if (store_raw or statement_col
                          or stats.get("store_raw")) else None

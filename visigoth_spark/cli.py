@@ -54,13 +54,23 @@ def _load_corpus(spark, args):
     if "text" not in df.columns:
         from visigoth_spark.analysis import extract_text_series
 
+        # carry every column the build needs through the extractor pass:
+        # lang (for --lang filtering) and the --statement-col column
+        extra = [c for c in dict.fromkeys(
+            ["lang"] + ([args.statement_col]
+                        if getattr(args, "statement_col", None) else [])
+        ) if c in df.columns]
+        out_schema = "url string, text string" + "".join(
+            f", {c} string" for c in extra
+        )
+
         def gen(it):
             for pdf in it:
                 pdf = pdf.copy()
                 pdf["text"] = extract_text_series(pdf["html"])
-                yield pdf[["url", "text"]]
+                yield pdf[["url", "text"] + extra]
 
-        df = df.select("url", "html").mapInPandas(gen, "url string, text string")
+        df = df.select("url", "html", *extra).mapInPandas(gen, out_schema)
     if args.lang:
         df = df.filter(F.col("lang") == args.lang)
     return df

@@ -385,8 +385,15 @@ def q_bm25_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).select(
         F.format_string("doc-%012d", F.col("doc_id")).alias("url"), "text"
     )
-    out = os.path.join(tempfile.mkdtemp(prefix="vg_stem_harness_"), "idx")
-    build_index(spark, docs, out, analyzer=analyzer, num_partitions=4)
+    # one cached index per sf_dir (stats.json is written last, so its
+    # presence marks a complete build) — repeated harness runs reuse it
+    # instead of accumulating temp dirs
+    import hashlib
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    out = os.path.join(tempfile.gettempdir(), "vg_stem_harness", key, "idx")
+    if not os.path.exists(os.path.join(out, "stats.json")):
+        build_index(spark, docs, out, analyzer=analyzer, num_partitions=4)
     idx = SearchIndex(spark, out, analyzer=analyzer)
     res = idx.search("tables data", engine="bm25", k=10)
     return res.select(
@@ -480,7 +487,25 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
 """
 
 
-SQL_BM25_STEMMED = _sql_bm25_stemmed()
+_SQL_BM25_STEMMED_CACHE: str | None = None
+
+
+def sql_bm25_stemmed() -> str:
+    """Lazily-built (and cached) stemmed-oracle SQL: building it reads the
+    sf0.01 fixture vocabulary through DuckDB + the stemmer, which must not
+    run at module import (every pytest collection / tool import would pay
+    it). Consumed via ``get_oracles()``."""
+    global _SQL_BM25_STEMMED_CACHE
+    if _SQL_BM25_STEMMED_CACHE is None:
+        _SQL_BM25_STEMMED_CACHE = _sql_bm25_stemmed()
+    return _SQL_BM25_STEMMED_CACHE
+
+
+def get_oracles() -> dict[str, str]:
+    """The full oracle map, including the lazily-built stemmed entry."""
+    d = dict(ORACLES)
+    d["vg_bm25_stemmed"] = sql_bm25_stemmed()
+    return d
 
 
 # ---------------------------------------------------------------------------
@@ -924,7 +949,7 @@ ORACLES = {
     "vg_term_df": SQL_TERM_DF,
     "vg_doclen_stats": SQL_DOCLEN_STATS,
     "vg_bm25_topk": SQL_BM25,
-    "vg_bm25_stemmed": SQL_BM25_STEMMED,
+    # vg_bm25_stemmed is added lazily by get_oracles() (import-time cost)
     "vg_bm25_or_topk": SQL_BM25_OR,
     "vg_hits_duplicate_tokens": SQL_HITS_DUP,
     "vg_missing_term_early_exit": SQL_MISSING_TERM,

@@ -169,7 +169,9 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                 ]
             )
         ).alias("bs"),
-    ).select(id_col, "bs.band", "bs.sig")
+    ).select(id_col, "bs.band", "bs.sig").cache()
+    # cached: the shingle+minhash lineage above would otherwise re-execute
+    # for the bucket-size aggregate AND each self-join side (3-4 passes)
     bsize = bands.groupBy("band", "sig").agg(F.count("*").alias("bn"))
     live = bsize.filter(F.col("bn") >= 2)
     if max_bucket_size is not None:
@@ -332,7 +334,7 @@ def ivf_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
     tests (recall@10 threshold)."""
     dims = len(query_vec)
     assigned = ivf_assign(emb, n_cells, dims, vec_col)
-    probe = probe_cells(query_vec, n_cells)
+    probe = probe_cells(query_vec, n_cells, n_probe_ids)
     pruned = assigned.filter(F.col("cell").isin(probe))
     return cosine_topk(pruned, query_vec, k, id_col, vec_col)
 
@@ -353,6 +355,7 @@ def ivf_write_partitioned(emb: DataFrame, out_path: str, n_cells: int = 16,
 
 def ivf_topk_partitioned(spark, ivf_path: str, query_vec: list[float],
                          k: int = 10, n_cells: int = 16,
+                         n_probe: int | None = None,
                          id_col: str = "vec_id", vec_col: str = "embedding"
                          ) -> DataFrame:
     """Query a materialized IVF table: the ``cell IN (probe)`` filter hits
@@ -363,7 +366,7 @@ def ivf_topk_partitioned(spark, ivf_path: str, query_vec: list[float],
     ``ivf_topk`` on the same data by construction (same centroids, same
     probe rule, exact scoring within probed cells)."""
     emb = spark.read.parquet(ivf_path)
-    probe = probe_cells(query_vec, n_cells)
+    probe = probe_cells(query_vec, n_cells, n_probe)
     return cosine_topk(
         emb.filter(F.col("cell").isin(probe)), query_vec, k, id_col, vec_col
     )
@@ -437,7 +440,9 @@ def embedding_dup_pairs(emb: DataFrame, threshold: float = 0.9,
                 ]
             )
         ).alias("bs"),
-    ).select(id_col, "bs.band", "bs.sig")
+    ).select(id_col, "bs.band", "bs.sig").cache()
+    # cached: the n_planes x dims dot-product projection would otherwise
+    # re-execute for the bucket-size aggregate and each self-join side
     bsize = bands.groupBy("band", "sig").agg(F.count("*").alias("bn"))
     live = bsize.filter(F.col("bn") >= 2)
     if max_bucket_size is not None:

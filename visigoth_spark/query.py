@@ -173,9 +173,6 @@ class SearchIndex:
             for r in rows
         }
 
-    def _urls_for(self, ids: list[int]) -> dict[int, str]:
-        return {d: u for d, (u, _) in self._docmap_for(ids).items()}
-
     def indexed(self, term: str) -> np.ndarray:
         """Posting-list lookup (≙ MemoryIndex.Indexed) — decoded docids."""
         rows = (
