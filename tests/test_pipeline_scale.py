@@ -214,3 +214,28 @@ class TestEmbeddingDup:
                                        max_bucket_size=10).collect()
         ids = {(r["id_a"], r["id_b"]) for r in capped}
         assert not any(a >= 200 and b >= 200 for a, b in ids)
+
+
+class TestWinnowing:
+    def test_shared_run_guarantees_shared_fingerprint(self, spark):
+        # winnowing guarantee: a match of >= n+w-1 = 6 consecutive tokens
+        # must produce at least one shared fingerprint
+        shared = "alpha bravo charlie delta echo foxtrot"
+        rows = [(1, f"intro words {shared} tail one"),
+                (2, f"other beginning {shared} different end"),
+                (3, "completely unrelated document text here")]
+        df = _docs_df(spark, rows)
+        fps = P.winnow_fingerprints(df, n=3, w=4).collect()
+        by_doc = {}
+        for r in fps:
+            by_doc.setdefault(r["doc_id"], set()).add(r["wfp"])
+        assert by_doc[1] & by_doc[2], "shared 6-token run must share a wfp"
+        assert not (by_doc[1] & by_doc[3])
+
+    def test_storage_reduction(self, spark):
+        words = " ".join(f"tok{i}" for i in range(200))
+        df = _docs_df(spark, [(1, words)])
+        n_sh = 200 - 2
+        n_fp = P.winnow_fingerprints(df, n=3, w=4).count()
+        # ~1/w of the shingle count (2/(w+1) expected density for random)
+        assert n_fp < n_sh / 2

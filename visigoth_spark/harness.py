@@ -793,6 +793,27 @@ SELECT id_a, id_b, cos FROM (
 SQL_DEDUP_EMBEDDING = _sql_dedup_embedding()
 
 
+def q_doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (token-3-gram hashes, window w=4 min). The
+    oracle reproduces the identical window-min with DuckDB's ROWS frame —
+    same tie rule (string MIN) on both engines."""
+    return P.winnow_fingerprints(_docs(spark, sf_dir), n=3, w=4)
+
+
+SQL_WINNOW = f"""
+WITH {SQL_TOKLIST},
+sh AS (
+    SELECT doc_id, i, md5(l[i] || ' ' || l[i+1] || ' ' || l[i+2]) AS h
+    FROM tl, LATERAL (SELECT unnest(range(1, len(l) - 1)) AS i) r
+    WHERE len(l) >= 3
+)
+SELECT DISTINCT doc_id,
+       MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wfp
+FROM sh
+"""
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
@@ -938,6 +959,7 @@ QUERIES = {
     "quality_score": q_quality_score,
     "token_count": q_token_count,
     "doc_fingerprint": q_doc_fingerprint,
+    "doc_winnow": q_doc_winnow,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "multimodal_image_meta": q_multimodal_image_meta,
@@ -964,6 +986,7 @@ ORACLES = {
     "quality_score": SQL_QUALITY,
     "token_count": SQL_TOKEN_COUNT,
     "doc_fingerprint": SQL_FINGERPRINT,
+    "doc_winnow": SQL_WINNOW,
     "ann_cosine_topk": SQL_ANN_COSINE,
     "ann_ivf_topk": SQL_ANN_IVF,
     "multimodal_image_meta": SQL_MULTIMODAL_META,

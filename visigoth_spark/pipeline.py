@@ -563,7 +563,41 @@ def token_counts(df: DataFrame, id_col: str = "doc_id",
 def fingerprint(df: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """Document fingerprint: md5 of whitespace-normalized lowercase text
-    (id, fp). The rolling-hash winnowing variant lives in tests (not
-    SQL-expressible)."""
+    (id, fp)."""
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
     return df.select(F.col(id_col), F.md5(norm).alias("fp"))
+
+
+def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 3, w: int = 4
+                        ) -> DataFrame:
+    """Winnowing fingerprints (MOSS-style, Schleimer et al. SIGMOD'03,
+    adapted to token shingles): hash every token ``n``-gram, slide a
+    ``w``-shingle window, select each window's minimum hash; the document's
+    fingerprint set is the distinct selected hashes. Guarantees any match
+    of >= n+w-1 consecutive tokens between two docs shares a fingerprint,
+    at ~1/w the storage of the full shingle set.
+
+    Returns (id, wfp) distinct rows. Pure Catalyst: posexplode + one
+    window MIN with a [CURRENT, w-1 FOLLOWING] frame — partitioned by doc,
+    so the only shuffle key is the doc id (per-group size = doc shingle
+    count; no cross-doc skew)."""
+    from pyspark.sql import Window
+
+    toks = with_tokens(df, text_col)
+    sh = F.when(
+        F.size("tokens") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("tokens") - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice("tokens", i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pos = toks.select(
+        F.col(id_col), F.posexplode(sh).alias("i", "shingle")
+    ).withColumn("h", F.md5("shingle"))
+    win = Window.partitionBy(id_col).orderBy("i").rowsBetween(0, w - 1)
+    return (
+        pos.withColumn("wfp", F.min("h").over(win))
+        .select(id_col, "wfp")
+        .distinct()
+    )
