@@ -239,22 +239,31 @@ def resume_child_main(out_dir: str) -> None:
 def _segments_digest(idx_dir: str) -> str:
     """Content digest of ALL posting segments (sorted rows, not file bytes —
     parquet metadata differs run to run). Equality means the resumed build
-    produced byte-identical postings to the cold build."""
+    produced byte-identical postings to the cold build. Reads each
+    committed batch's kind=s dir explicitly — a SIGKILLed attempt can leave
+    _temporary staging trees whose extra path depth breaks hive partition
+    inference over the data root."""
+    import glob
     import hashlib
 
     import pyarrow.dataset as ds
 
-    data = ds.dataset(os.path.join(idx_dir, "data"), format="parquet",
-                      partitioning="hive")
-    tbl = data.to_table(
-        columns=["term", "bucket", "min_docid", "blob", "skips"],
-        filter=ds.field("kind") == "s",
-    )
-    rows = sorted(
-        zip(tbl["term"].to_pylist(), tbl["bucket"].to_pylist(),
-            tbl["min_docid"].to_pylist(), tbl["blob"].to_pylist(),
-            tbl["skips"].to_pylist())
-    )
+    rows = []
+    for seg_dir in sorted(
+        glob.glob(os.path.join(idx_dir, "data", "batch=*", "kind=s"))
+    ):
+        batch_dir = os.path.dirname(seg_dir)
+        if not os.path.exists(os.path.join(batch_dir, "_SUCCESS")):
+            continue  # uncommitted partial from a killed attempt
+        tbl = ds.dataset(seg_dir, format="parquet").to_table(
+            columns=["term", "bucket", "min_docid", "blob", "skips"]
+        )
+        rows.extend(
+            zip(tbl["term"].to_pylist(), tbl["bucket"].to_pylist(),
+                tbl["min_docid"].to_pylist(), tbl["blob"].to_pylist(),
+                tbl["skips"].to_pylist())
+        )
+    rows.sort()
     h = hashlib.md5()
     for term, bucket, mind, blob, skips in rows:
         h.update(f"{term}|{bucket}|{mind}|".encode())

@@ -127,16 +127,11 @@ def _partition_offsets(src: DataFrame) -> dict[int, int]:
     return offsets
 
 
-def _seg_frame(pairs: pd.DataFrame, bucket: int) -> pd.DataFrame:
+def _seg_frame(terms: np.ndarray, docids: np.ndarray, tfs: np.ndarray,
+               dls: np.ndarray, bucket: int) -> pd.DataFrame:
     """Encode one partition's accumulated (term, docid, tf, doclen) pairs
-    into segment rows. Sort by (term, docid), find group boundaries
-    vectorized, run the multi-group varbyte encoder once."""
-    pairs = pairs.sort_values(["term", "docid"], kind="stable",
-                              ignore_index=True)
-    terms = pairs["term"].to_numpy()
-    docids = pairs["docid"].to_numpy(dtype=np.int64)
-    tfs = pairs["tf"].to_numpy(dtype=np.int64)
-    dls = pairs["doclen"].to_numpy(dtype=np.int64)
+    into segment rows. Inputs must be sorted by (term, docid); find group
+    boundaries vectorized, run the multi-group varbyte encoder once."""
     change = np.empty(len(terms), dtype=bool)
     change[0] = True
     change[1:] = terms[1:] != terms[:-1]
@@ -203,23 +198,35 @@ def _fused_generator(offsets: dict[int, int], analyzer: AnalyzerConfig,
     content hydrated into results as ``Doc.Raw`` (search_result.go:6-9)."""
 
     def gen(iterator):
+        import pyarrow.compute as pc
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
         bucket = pid + bucket_base
         next_id = offsets.get(pid, 0)
-        acc: list[pd.DataFrame] = []
+        # acc: per-input-batch (terms, docids, tfs, doclens) group arrays,
+        # each already (term-lex, docid)-sorted; a doc lives in exactly one
+        # input batch, so groups never span batches
+        acc: list[tuple] = []
         acc_docs = 0
 
         def flush():
             nonlocal acc, acc_docs
             if not acc:
                 return None
-            pairs = (pd.concat(acc, ignore_index=True)
-                     if len(acc) > 1 else acc[0])
+            if len(acc) == 1:
+                t, d, tf, dl = acc[0]
+            else:
+                t = np.concatenate([a[0] for a in acc])
+                d = np.concatenate([a[1] for a in acc])
+                tf = np.concatenate([a[2] for a in acc])
+                dl = np.concatenate([a[3] for a in acc])
+                # cross-batch merge: re-sort the (distinct-pair) groups
+                order = np.lexsort((d, t))
+                t, d, tf, dl = t[order], d[order], tf[order], dl[order]
             acc = []
             acc_docs = 0
-            return _seg_frame(pairs, bucket)
+            return _seg_frame(t, d, tf, dl, bucket)
 
         for pdf in iterator:
             n = len(pdf)
@@ -236,25 +243,29 @@ def _fused_generator(offsets: dict[int, int], analyzer: AnalyzerConfig,
                              lens, bucket, raws)
             if len(terms_arr) == 0:
                 continue
-            flat_docids = np.repeat(docids, lens)
-            flat_doclens = np.repeat(lens, lens)
-            g = (
-                pd.DataFrame(
-                    {
-                        # Arrow-backed term column: groupby factorizes via
-                        # dictionary encoding in C (~2x the object path)
-                        "term": pd.Series(
-                            pd.arrays.ArrowExtensionArray(terms_arr)
-                        ),
-                        "docid": flat_docids,
-                        "doclen": flat_doclens,
-                    }
-                )
-                .groupby(["term", "docid", "doclen"], sort=False)
-                .size()
-                .reset_index(name="tf")
+            # tf per (term, doc) without pandas: dictionary-encode terms
+            # (C, one pass), remap codes to lexicographic ranks, pack
+            # (rank, local docid) into one int64 key, np.unique with counts
+            # -> groups sorted by (term, docid). ~8x the pandas groupby.
+            denc = pc.dictionary_encode(terms_arr)
+            codes = denc.indices.to_numpy(zero_copy_only=False).astype(
+                np.int64
             )
-            acc.append(g)
+            vocab = np.asarray(denc.dictionary.to_pylist(), dtype=object)
+            vorder = np.argsort(vocab, kind="stable")
+            rank_of = np.empty(len(vocab), dtype=np.int64)
+            rank_of[vorder] = np.arange(len(vocab))
+            vocab_sorted = vocab[vorder]
+            local = np.repeat(docids - docids[0], lens)
+            rkey = rank_of[codes] * n + local
+            uniq, counts = np.unique(rkey, return_counts=True)
+            g_local = uniq % n
+            acc.append((
+                vocab_sorted[uniq // n],
+                docids[0] + g_local,
+                counts.astype(np.int64),
+                lens[g_local],
+            ))
             acc_docs += n
             if acc_docs >= flush_docs:
                 out = flush()
