@@ -392,7 +392,7 @@ def main() -> None:
         for p in pairs if p[3].get("cpu_hi")
     )
     cpu_work_invariance = (
-        cpu_ratios[len(cpu_ratios) // 2] if cpu_ratios else None
+        statistics.median(cpu_ratios) if cpu_ratios else None
     )
 
     # --- resumability at bench scale (north-rule checkpoint evidence) ------

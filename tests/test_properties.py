@@ -182,3 +182,36 @@ def test_encode_groups_byte_identical_to_per_segment(seed, n_groups):
     for g, (d, t, dl) in enumerate(parts):
         b2, s2 = encode_segment(d, t, dl)
         assert blobs[g] == b2 and skips[g] == s2
+
+
+class TestAnalyzeFlatHypothesis:
+    """Property: the Arrow/RE2 analysis path and the regex-module path are
+    token-identical on the shared-semantics alphabet (no context-sensitive
+    case-mapping characters — those are pinned separately to the Go simple
+    mapping in test_analysis.py::TestCaseMappingParity)."""
+
+    @given(
+        st.lists(
+            st.text(
+                alphabet="abcéñü 日ω.,!?19-_\t\nde la",
+                max_size=60,
+            ),
+            max_size=20,
+        )
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_flat_equals_python_path(self, texts):
+        import numpy as np
+        import pandas as pd
+
+        from visigoth_spark.analysis import (
+            DEFAULT_ANALYZER,
+            _analyze_lists_python,
+            analyze_flat,
+        )
+
+        s = pd.Series(texts, dtype=object)
+        lists = _analyze_lists_python(s, DEFAULT_ANALYZER)
+        terms, lens = analyze_flat(s, DEFAULT_ANALYZER)
+        assert lens.tolist() == [len(x) for x in lists]
+        assert terms.to_pylist() == [t for lst in lists for t in lst]
