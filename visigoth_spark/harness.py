@@ -905,6 +905,25 @@ ORDER BY sim DESC, vec_id ASC LIMIT 10
 """
 
 
+def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window per event type over the events table — the
+    batch form of the Structured Streaming windowed aggregation (the same
+    expression runs under readStream + watermark; stream ≡ batch is pinned
+    in tests/test_streaming_events.py)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return P.windowed_event_counts(ev, "1 hour")
+
+
+SQL_EVENTS_WINDOWED = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 6) AS sum_value
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+"""
+
+
 def q_multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing (multimodal.py): payload = utf-8 bytes of the
     doc text (the sandbox's stand-in for an image blob), typed metadata via
@@ -962,6 +981,7 @@ QUERIES = {
     "doc_winnow": q_doc_winnow,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "events_windowed": q_events_windowed,
     "multimodal_image_meta": q_multimodal_image_meta,
 }
 
@@ -989,5 +1009,6 @@ ORACLES = {
     "doc_winnow": SQL_WINNOW,
     "ann_cosine_topk": SQL_ANN_COSINE,
     "ann_ivf_topk": SQL_ANN_IVF,
+    "events_windowed": SQL_EVENTS_WINDOWED,
     "multimodal_image_meta": SQL_MULTIMODAL_META,
 }

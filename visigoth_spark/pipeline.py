@@ -467,6 +467,36 @@ def embedding_dup_pairs(emb: DataFrame, threshold: float = 0.9,
 
 
 # ---------------------------------------------------------------------------
+# Event-stream aggregation (batch form of the Structured Streaming shape)
+# ---------------------------------------------------------------------------
+
+def windowed_event_counts(events: DataFrame, window: str = "1 hour",
+                          ts_col: str = "ts") -> DataFrame:
+    """Tumbling-window per-type event aggregates:
+    (window_start, event_type, n_events, sum_value).
+
+    This is the BATCH form of the Structured Streaming windowed
+    aggregation — the exact same expression runs under readStream with
+    ``withWatermark`` (tests/test_streaming_events.py pins stream ≡ batch).
+    Scale: one shuffle keyed by (window, event_type); late data is bounded
+    by the watermark in the streaming form."""
+    return (
+        events.groupBy(
+            F.window(F.col(ts_col), window).alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss")
+            .alias("window_start"),
+            "event_type", "n_events", "sum_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
 
