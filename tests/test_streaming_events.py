@@ -75,3 +75,70 @@ def test_watermark_present_in_stream_plan(spark, events_dir):
     assert agg.isStreaming
     plan = agg._jdf.queryExecution().analyzed().toString()
     assert "EventTimeWatermark" in plan
+
+
+class TestStatefulSessionize:
+    def test_stream_equals_batch_across_microbatches(self, spark, tmp_path):
+        """Sessions spanning micro-batches must merge through GroupState:
+        drain batch A (first half by time), then batch B, same checkpoint;
+        the last emission per (user, session_idx) equals the batch
+        sessionization of A ∪ B."""
+        import pandas as pd
+
+        from visigoth_spark.streaming import sessionize_stream
+
+        src = "/root/testdata/sf0.001/events.parquet"
+        full = spark.read.parquet(src)
+        cut = full.approxQuantile("event_id", [0.5], 0.0)[0]
+        a = full.filter(F.col("event_id") <= cut)
+        b = full.filter(F.col("event_id") > cut)
+        # event_id order == ts order in the fixture; verify the premise
+        assert full.orderBy("event_id").select("ts").collect() == \
+            full.orderBy("ts").select("ts").collect()
+
+        stream_dir = str(tmp_path / "events")
+        ckpt = str(tmp_path / "ckpt")
+        emitted: list = []
+
+        def drain(name):
+            stream = (
+                spark.readStream
+                .schema("event_id long, ts timestamp, user_id long, "
+                        "event_type string, value double, props string")
+                .parquet(stream_dir)
+            )
+            q = (
+                sessionize_stream(stream, gap_minutes=240)
+                .writeStream
+                .foreachBatch(lambda df, eid: emitted.extend(df.collect()))
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        a.write.mode("overwrite").parquet(stream_dir)
+        drain("sess_a")
+        b.write.mode("append").parquet(stream_dir)
+        drain("sess_b")
+
+        # last emission wins per (user, session_idx)
+        final = {}
+        for r in emitted:
+            final[(r["user_id"], r["session_idx"])] = (
+                r["n_events"], r["session_start"], r["session_end"]
+            )
+        from visigoth_spark import pipeline as P
+
+        batch = {
+            (r["user_id"], r["session_idx"]): (
+                r["n_events"], r["session_start"], r["session_end"]
+            )
+            for r in P.sessionize(full, gap_minutes=240).collect()
+        }
+        assert final == batch and len(batch) > 0
+        # the state-merge path must actually have been exercised: some
+        # session emitted in drain A was re-emitted (extended) in drain B
+        seen_twice = len(emitted) > len(final)
+        assert seen_twice, "no session spanned the A/B micro-batch boundary"

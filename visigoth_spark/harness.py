@@ -924,6 +924,38 @@ GROUP BY date_trunc('hour', ts), event_type
 """
 
 
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap) — lag + cumulative-break-sum
+    windows; the stateful streaming twin (applyInPandasWithState) is pinned
+    stream ≡ batch in tests/test_streaming_events.py."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return P.sessionize(ev, gap_minutes=30)
+
+
+SQL_SESSIONIZE = """
+WITH g AS (
+    SELECT user_id, ts,
+           date_diff('microsecond',
+                     LAG(ts) OVER (PARTITION BY user_id ORDER BY ts),
+                     ts) AS gap_us
+    FROM events
+),
+m AS (
+    SELECT user_id, ts,
+           CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > 30 * 60 * 1000000
+                         THEN 1 ELSE 0 END) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS session_idx
+    FROM g
+)
+SELECT user_id, session_idx, COUNT(*) AS n_events,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+FROM m GROUP BY user_id, session_idx
+"""
+
+
 def q_multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing (multimodal.py): payload = utf-8 bytes of the
     doc text (the sandbox's stand-in for an image blob), typed metadata via
@@ -982,6 +1014,7 @@ QUERIES = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "events_windowed": q_events_windowed,
+    "events_sessionize": q_events_sessionize,
     "multimodal_image_meta": q_multimodal_image_meta,
 }
 
@@ -1010,5 +1043,6 @@ ORACLES = {
     "ann_cosine_topk": SQL_ANN_COSINE,
     "ann_ivf_topk": SQL_ANN_IVF,
     "events_windowed": SQL_EVENTS_WINDOWED,
+    "events_sessionize": SQL_SESSIONIZE,
     "multimodal_image_meta": SQL_MULTIMODAL_META,
 }

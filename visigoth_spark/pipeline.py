@@ -496,6 +496,52 @@ def windowed_event_counts(events: DataFrame, window: str = "1 hour",
     )
 
 
+def sessionize(events: DataFrame, gap_minutes: int = 30,
+               ts_col: str = "ts", user_col: str = "user_id") -> DataFrame:
+    """Gap-based sessionization (batch form): a new session starts when a
+    user's inter-event gap exceeds ``gap_minutes``. Returns
+    (user_id, session_idx, n_events, session_start, session_end) with
+    timestamps formatted as strings (engine-portable hashing).
+
+    Classic lag + cumulative-sum-of-breaks window pair — one shuffle keyed
+    by user (per-group size = per-user event count; the same partitioning
+    serves both window passes). The streaming form with identical semantics
+    is streaming.sessionize_stream (applyInPandasWithState);
+    stream ≡ batch is pinned in tests/test_streaming_events.py."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    # exact integer microseconds, timezone-free (works on TIMESTAMP_NTZ):
+    # Spark timestampdiff(MICROSECOND) ≡ DuckDB date_diff('microsecond')
+    prev = F.lag(F.col(ts_col)).over(w)
+    gap = F.expr(
+        f"timestampdiff(MICROSECOND, _prev_ts, `{ts_col}`)"
+    )
+    new_sess = F.when(
+        prev.isNull() | (gap > gap_minutes * 60 * 1_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    marked = (
+        events.withColumn("_prev_ts", prev)
+        .withColumn("_new", new_sess)
+        .withColumn(
+            "session_idx",
+            F.sum("_new").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    return (
+        marked.groupBy(user_col, "session_idx")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.date_format(F.min(ts_col), "yyyy-MM-dd HH:mm:ss")
+            .alias("session_start"),
+            F.date_format(F.max(ts_col), "yyyy-MM-dd HH:mm:ss")
+            .alias("session_end"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

@@ -114,6 +114,97 @@ def foreach_batch_indexer(out_dir: str,
     return fn
 
 
+SESSION_OUT_SCHEMA = ("user_id long, session_idx long, n_events long, "
+                      "session_start string, session_end string")
+SESSION_STATE_SCHEMA = "last_us long, start_us long, n_ev long, idx long"
+
+
+def _session_fn(gap_us: int):
+    """applyInPandasWithState kernel: per-user gap sessionization with the
+    open session carried in GroupState across micro-batches. Emits (update
+    mode) every session touched this batch — closed sessions final, the
+    still-open session at its current value (a later batch re-emits it).
+    Vectorized: numpy break-detection + reduceat per segment."""
+
+    def fn(key, pdf_iter, state):
+        import numpy as np
+        import pandas as pd
+
+        (user_id,) = key
+        if state.exists:
+            last_us, start_us, n_ev, idx = state.get
+        else:
+            last_us, start_us, n_ev, idx = None, None, 0, 0
+        pdfs = [p for p in pdf_iter if len(p)]
+        if not pdfs:
+            yield pd.DataFrame(
+                columns=["user_id", "session_idx", "n_events",
+                         "session_start", "session_end"]
+            )
+            return
+        ev = pd.concat(pdfs).sort_values("ts")
+        us = ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        gap_ns_prev = (np.inf if last_us is None else us[0] - last_us)
+        breaks = np.empty(len(us), dtype=bool)
+        breaks[0] = gap_ns_prev > gap_us
+        if len(us) > 1:
+            breaks[1:] = np.diff(us) > gap_us
+        seg = np.cumsum(breaks)  # 0 = continuation of the open session
+        starts_pos = np.flatnonzero(breaks)
+        sessions = []  # (idx, n, start_us, end_us)
+        if not breaks[0]:
+            # first segment extends the open session
+            cont_len = int(starts_pos[0]) if len(starts_pos) else len(us)
+            n_ev += cont_len
+            last_us = int(us[cont_len - 1])
+            sessions.append((idx, n_ev, start_us, last_us))
+        for si, sp in enumerate(starts_pos):
+            ep = (starts_pos[si + 1] if si + 1 < len(starts_pos)
+                  else len(us))
+            idx += 1
+            start_us = int(us[sp])
+            n_ev = int(ep - sp)
+            last_us = int(us[ep - 1])
+            sessions.append((idx, n_ev, start_us, last_us))
+        state.update((int(last_us), int(start_us), int(n_ev), int(idx)))
+
+        def fmt(u):
+            return (pd.Timestamp(u, unit="us")
+                    .strftime("%Y-%m-%d %H:%M:%S"))
+
+        yield pd.DataFrame(
+            {
+                "user_id": np.full(len(sessions), user_id, dtype=np.int64),
+                "session_idx": np.array([s[0] for s in sessions],
+                                        dtype=np.int64),
+                "n_events": np.array([s[1] for s in sessions],
+                                     dtype=np.int64),
+                "session_start": [fmt(s[2]) for s in sessions],
+                "session_end": [fmt(s[3]) for s in sessions],
+            }
+        )
+
+    return fn
+
+
+def sessionize_stream(events_stream, gap_minutes: int = 30):
+    """Stateful streaming sessionization (the brief's custom stateful
+    operator shape): ``applyInPandasWithState`` keyed by user, update
+    output mode — semantics identical to the batch ``pipeline.sessionize``
+    for in-order (per-batch time-split) arrival; pinned stream ≡ batch in
+    tests/test_streaming_events.py including sessions that SPAN
+    micro-batches (merged through GroupState)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        _session_fn(gap_minutes * 60 * 1_000_000),
+        SESSION_OUT_SCHEMA,
+        SESSION_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_index(
     spark: SparkSession,
     source_dir: str,
