@@ -268,3 +268,32 @@ class TestStoreRawRetrofit:
         with pytest.raises(ValueError, match="statement_col"):
             build_index(spark, df, str(tmp_path / "i"), analyzer=NOSTEM,
                         num_partitions=2, statement_col="nope")
+
+
+class TestCatalogTableSource:
+    def test_build_from_saved_table(self, spark, tmp_path):
+        """The cli/table read path (spark.read.table — the Iceberg surface;
+        the sandbox uses the built-in catalog) must build identically to the
+        parquet path."""
+        from visigoth_spark.corpus import generate_corpus
+
+        pdf = generate_corpus(60)
+        df = spark.createDataFrame(pdf[["url", "text", "lang"]])
+        spark.sql("DROP TABLE IF EXISTS vg_test_pages")
+        df.write.mode("overwrite").saveAsTable("vg_test_pages")
+        try:
+            out = str(tmp_path / "idx")
+            build_index(spark, spark.read.table("vg_test_pages"), out,
+                        num_partitions=2)
+            idx = SearchIndex(spark, out)
+            res = idx.search("curso", "bm25", 5).collect()
+            assert len(res) > 0
+            # identical to the direct-DataFrame build
+            out2 = str(tmp_path / "idx2")
+            build_index(spark, df, out2, num_partitions=2)
+            res2 = SearchIndex(spark, out2).search("curso", "bm25", 5).collect()
+            assert [(r["url"], r["score"]) for r in res] == [
+                (r["url"], r["score"]) for r in res2
+            ]
+        finally:
+            spark.sql("DROP TABLE IF EXISTS vg_test_pages")
