@@ -147,14 +147,18 @@ GROUP BY t
 
 
 def q_doclen_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus stats (≙ MemoryIndex.Len + BM25 avgdl inputs)."""
-    docs = _docs(spark, sf_dir)
+    """Corpus stats (≙ MemoryIndex.Len + BM25 avgdl inputs). One plan, no
+    driver-side count(): the doc count rides in as a broadcast crossJoin."""
+    nd = _docs(spark, sf_dir).agg(F.count("*").alias("nd"))
     t = _tokens(spark, sf_dir)
-    n_docs = docs.count()
-    return t.agg(
-        F.lit(n_docs).cast("long").alias("n_docs"),
-        F.count("*").alias("total_tokens"),
-        F.round(F.count("*") / F.lit(n_docs), 6).alias("avgdl"),
+    return (
+        t.agg(F.count("*").alias("total_tokens"))
+        .crossJoin(F.broadcast(nd))
+        .select(
+            F.col("nd").alias("n_docs"),
+            "total_tokens",
+            F.round(F.col("total_tokens") / F.col("nd"), 6).alias("avgdl"),
+        )
     )
 
 
@@ -167,32 +171,38 @@ FROM toks
 """
 
 
-def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exhaustive BM25 top-k as one relational plan: tf/df/dl aggregates,
-    AND candidate set, (score DESC, doc_id ASC) top-10. The compressed-index
-    engine (query.py) is the scale path; this is its SQL-checkable twin."""
-    docs = _docs(spark, sf_dir)
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared AND/OR BM25 plan core: per-doc summed contributions with the
+    corpus stats (n_docs, avgdl) riding in as a broadcast crossJoin — ONE
+    plan, zero driver-side count() jobs."""
     t = _tokens(spark, sf_dir)
-    n_docs = docs.count()
+    stats = (
+        t.agg(F.count("*").alias("tt"))
+        .crossJoin(F.broadcast(
+            _docs(spark, sf_dir).agg(F.count("*").alias("nd"))
+        ))
+        .select("nd", (F.col("tt") / F.col("nd")).alias("avgdl"))
+    )
     dl = t.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    total_tokens = t.count()
-    avgdl = total_tokens / n_docs
     tf = (
         t.filter(F.col("t").isin(BM25_TERMS))
         .groupBy("doc_id", "t").agg(F.count("*").alias("tf"))
     )
     df_ = tf.groupBy("t").agg(F.count("*").alias("df"))
     idf = F.log(
-        (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+        (F.col("nd").cast("double") - F.col("df") + 0.5)
+        / (F.col("df") + 0.5) + 1.0
     )
-    scored = (
+    return (
         tf.join(F.broadcast(df_), "t")
         .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
         .withColumn(
             "contrib",
             idf * (F.col("tf") * (BM25_K1 + 1.0)) / (
                 F.col("tf")
-                + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / avgdl)
+                + BM25_K1 * (1.0 - BM25_B
+                             + BM25_B * F.col("dl") / F.col("avgdl"))
             ),
         )
         .groupBy("doc_id")
@@ -200,10 +210,20 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("contrib"), 6).alias("score"),
             F.count("*").alias("nt"),
         )
+    )
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exhaustive BM25 top-k as one relational plan: tf/df/dl aggregates,
+    AND candidate set, (score DESC, doc_id ASC) top-10. The compressed-index
+    engine (query.py) is the scale path; this is its SQL-checkable twin."""
+    return (
+        _bm25_scored(spark, sf_dir)
         .filter(F.col("nt") == len(BM25_TERMS))
         .select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(BM25_K)
     )
-    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(BM25_K)
 
 
 SQL_BM25 = f"""
@@ -287,31 +307,9 @@ def q_bm25_or_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Disjunctive BM25 top-k (engine extension): union candidate set,
     absent terms contribute 0 — the q_bm25_topk plan without the AND
     filter."""
-    docs = _docs(spark, sf_dir)
-    t = _tokens(spark, sf_dir)
-    n_docs = docs.count()
-    dl = t.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    avgdl = t.count() / n_docs
-    tf = (
-        t.filter(F.col("t").isin(BM25_TERMS))
-        .groupBy("doc_id", "t").agg(F.count("*").alias("tf"))
-    )
-    df_ = tf.groupBy("t").agg(F.count("*").alias("df"))
-    idf = F.log(
-        (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
-    )
     return (
-        tf.join(F.broadcast(df_), "t")
-        .join(dl, "doc_id")
-        .withColumn(
-            "contrib",
-            idf * (F.col("tf") * (BM25_K1 + 1.0)) / (
-                F.col("tf")
-                + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / avgdl)
-            ),
-        )
-        .groupBy("doc_id")
-        .agg(F.round(F.sum("contrib"), 6).alias("score"))
+        _bm25_scored(spark, sf_dir)
+        .select("doc_id", "score")
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(BM25_K)
     )
