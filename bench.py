@@ -374,11 +374,20 @@ def main() -> None:
         print(f"# pair: lo={d_lo:.0f} hi={d_hi:.0f} eff={pairs[-1][2]:.3f} "
               f"cpu_lo={r.get('cpu_lo', 0):.0f}s cpu_hi={r.get('cpu_hi', 0):.0f}s",
               file=sys.stderr)
-        if pairs[-1][2] >= 0.8 or time.time() - t_pairs > 600:
+        if (len(pairs) >= 2 and any(p[2] >= 0.8 for p in pairs)) or (
+            time.time() - t_pairs > 900
+        ):
             break
     if not pairs:
         raise RuntimeError("all pair subprocesses failed")
-    dps_lo, dps_hi, efficiency, best_rec = max(pairs, key=lambda p: p[2])
+    # Select the CLEANEST pair — minimum total tree-CPU — not the max-eff
+    # one: a starved lo half inflates eff past 1 (and its CPU numbers),
+    # while a clean window shows both eff ~0.9-1.05 and the low,
+    # reproducible CPU cost. Steal-immune CPU is the cleanliness signal.
+    def cpu_sum(p):
+        return p[3].get("cpu_lo", 1e9) + p[3].get("cpu_hi", 1e9)
+
+    dps_lo, dps_hi, efficiency, best_rec = min(pairs, key=cpu_sum)
     # eff > 1.0 means the lo half of the pair was starved by external load
     # mid-measurement (super-linear scaling is not a thing here); clamp the
     # headline number, keep the raw pair data in "pairs"
