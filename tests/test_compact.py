@@ -1,0 +1,238 @@
+"""Segment compaction (build.compact_index) — the Lucene force-merge
+analogue. After a run of append_index calls, compaction must restore exactly
+the index a cold single-batch build over the same documents produces:
+identical docmap (dense docids in url order), identical per-term posting
+lists, identical search results — while preserving stored raw content and
+surviving stale staging dirs."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from visigoth_spark.build import (
+    append_index,
+    build_index,
+    compact_index,
+    load_stats,
+)
+from visigoth_spark.corpus import generate_corpus
+from visigoth_spark.query import SearchIndex
+from visigoth_spark.reference_engine import OracleIndex
+
+QUERIES = ["curso", "programación java", "java java", "web curso gratis"]
+
+
+def _df(spark, pdf):
+    return spark.createDataFrame(pdf[["url", "text", "lang"]])
+
+
+def _interleaved_slices(n=240, parts=3):
+    """Slices whose urls INTERLEAVE — appended docids are maximally out of
+    url order, so compaction's remap is actually exercised."""
+    pdf = generate_corpus(n).sort_values("url").reset_index(drop=True)
+    return pdf, [pdf.iloc[i::parts] for i in range(parts)]
+
+
+def _appended_index(spark, tmp_path, name, slices, **kw):
+    out = str(tmp_path / name)
+    build_index(spark, _df(spark, slices[0]), out, num_partitions=3, **kw)
+    for s in slices[1:]:
+        append_index(spark, _df(spark, s), out, num_partitions=2, **kw)
+    return out
+
+
+def _docmap_rows(spark, out, cols=("docid", "url", "doclen")):
+    idx = SearchIndex(spark, out)
+    return [tuple(r[c] for c in cols)
+            for r in idx._docmap.orderBy("docid").collect()]
+
+
+class TestCompactEqualsColdBuild:
+    @pytest.fixture(scope="class")
+    def built(self, spark, tmp_path_factory):
+        tmp = tmp_path_factory.mktemp("compact")
+        pdf, slices = _interleaved_slices()
+        appended = _appended_index(spark, tmp, "appended", slices)
+        cold = str(tmp / "cold")
+        build_index(spark, _df(spark, pdf), cold, num_partitions=4)
+        m = compact_index(spark, appended, num_partitions=4)
+        return pdf, appended, cold, m
+
+    def test_docmap_identical_to_cold_build(self, spark, built):
+        pdf, compacted, cold, _ = built
+        assert _docmap_rows(spark, compacted) == _docmap_rows(spark, cold)
+
+    def test_postings_identical_to_cold_build(self, spark, built):
+        _, compacted, cold, _ = built
+
+        def full_postings(out):
+            """term -> (docids, tfs, doclens) concatenated across segments,
+            one collect per index."""
+            from visigoth_spark.codec import decode_segment
+
+            idx = SearchIndex(spark, out)
+            rows = idx._postings.select(
+                "term", "min_docid", "blob"
+            ).collect()
+            by_term: dict[str, list] = {}
+            for r in rows:
+                by_term.setdefault(r["term"], []).append(
+                    (r["min_docid"], decode_segment(bytes(r["blob"])))
+                )
+            return {
+                t: tuple(
+                    np.concatenate([seg[i] for _, seg in sorted(
+                        parts, key=lambda p: p[0])])
+                    for i in range(3)
+                )
+                for t, parts in by_term.items()
+            }
+
+        pa, pb = full_postings(compacted), full_postings(cold)
+        assert set(pa) == set(pb) and pa
+        for t in pa:
+            for i, name in enumerate(("docids", "tfs", "doclens")):
+                np.testing.assert_array_equal(pa[t][i], pb[t][i],
+                                              err_msg=f"{t}/{name}")
+
+    def test_stats_preserved(self, built):
+        _, compacted, cold, m = built
+        sa, sb = load_stats(compacted), load_stats(cold)
+        for k in ("n_docs", "total_tokens", "n_postings"):
+            assert sa[k] == sb[k], k
+        assert sa["avgdl"] == pytest.approx(sb["avgdl"])
+        assert sa["n_batches"] == 1
+        assert m.n_docs == sb["n_docs"]
+        assert m.n_postings == sb["n_postings"]
+
+    def test_search_parity_with_oracle(self, spark, built):
+        pdf, compacted, _, _ = built
+        oracle = OracleIndex()
+        for r in pdf.sort_values("url").itertuples():
+            oracle.put(r.url, r.text)
+        idx = SearchIndex(spark, compacted)
+        for q in QUERIES:
+            got = [(r["url"], r["score"])
+                   for r in idx.search(q, "bm25", k=10).collect()]
+            exp = oracle.bm25_search(q, k=10)
+            assert [u for u, _ in got] == [u for u, _ in exp], q
+            for (u1, s1), (_, s2) in zip(got, exp):
+                assert s1 == pytest.approx(s2, abs=1e-12), (q, u1)
+
+    def test_no_staging_leftovers(self, built):
+        _, compacted, _, _ = built
+        assert not os.path.exists(os.path.join(compacted, "_compact_tmp"))
+        assert not os.path.exists(os.path.join(compacted, "_pre_compact"))
+
+
+class TestCompactModes:
+    def test_dest_mode_leaves_source_untouched(self, spark, tmp_path):
+        pdf, slices = _interleaved_slices(120, 2)
+        src = _appended_index(spark, tmp_path, "src", slices)
+        before = _docmap_rows(spark, src)
+        dest = str(tmp_path / "dst")
+        compact_index(spark, src, dest=dest, num_partitions=3)
+        assert load_stats(src)["n_batches"] == 2
+        assert _docmap_rows(spark, src) == before
+        # dest is url-ordered dense while source kept ingest order
+        urls = [u for _, u, _ in _docmap_rows(spark, dest)]
+        assert urls == sorted(urls)
+        # dest matches the single-process oracle exactly (incl. the url
+        # tiebreak); src may legitimately differ from dest on exact-score
+        # ties at the k boundary (ingest-order tiebreak) — assert its score
+        # sequence instead
+        oracle = OracleIndex()
+        for r in pdf.sort_values("url").itertuples():
+            oracle.put(r.url, r.text)
+        a = SearchIndex(spark, src)
+        b = SearchIndex(spark, dest)
+        for q in QUERIES:
+            exp = oracle.bm25_search(q, k=10)
+            gb = [(r["url"], r["score"])
+                  for r in b.search(q, "bm25", k=10).collect()]
+            assert [u for u, _ in gb] == [u for u, _ in exp], q
+            ga_scores = [r["score"]
+                         for r in a.search(q, "bm25", k=10).collect()]
+            assert ga_scores == pytest.approx([s for _, s in exp],
+                                              abs=1e-12), q
+
+    def test_url_tiebreak_restored(self, spark, tmp_path):
+        """Two docs with IDENTICAL text appended in reverse url order tie on
+        score; before compaction the tiebreak is ingest order, after it is
+        url order — the pure-batch determinism contract."""
+        pdf, _ = _interleaved_slices(60, 1)
+        dup_text = "curso de programación java y web"
+        import pandas as pd
+
+        extra = pd.DataFrame(
+            {
+                "url": ["zz-b-second", "zz-a-first"],
+                "text": [dup_text, dup_text],
+                "lang": ["es", "es"],
+            }
+        )
+        out = str(tmp_path / "tie")
+        build_index(spark, _df(spark, pdf), out, num_partitions=2)
+        append_index(spark, _df(spark, extra.iloc[[0]]), out,
+                     num_partitions=1)
+        append_index(spark, _df(spark, extra.iloc[[1]]), out,
+                     num_partitions=1)
+        idx = SearchIndex(spark, out)
+        pre = [r["url"] for r in idx.search(dup_text, "bm25", k=5).collect()
+               if r["url"].startswith("zz-")]
+        assert pre == ["zz-b-second", "zz-a-first"]  # ingest order
+        compact_index(spark, out, num_partitions=2)
+        idx2 = SearchIndex(spark, out)
+        post = [r["url"]
+                for r in idx2.search(dup_text, "bm25", k=5).collect()
+                if r["url"].startswith("zz-")]
+        assert post == ["zz-a-first", "zz-b-second"]  # url order
+
+    def test_raw_preserved(self, spark, tmp_path):
+        pdf, slices = _interleaved_slices(90, 3)
+        out = _appended_index(spark, tmp_path, "raw", slices,
+                              store_raw=True)
+        compact_index(spark, out, num_partitions=2)
+        idx = SearchIndex(spark, out)
+        assert idx.has_raw
+        rows = idx.search("curso", "bm25", k=5, include_raw=True).collect()
+        assert rows
+        text_of = dict(zip(pdf["url"], pdf["text"]))
+        for r in rows:
+            assert r["raw"] == text_of[r["url"]]
+
+    def test_chunked_encode_parity(self, spark, tmp_path):
+        """flush_docs far below the corpus size forces multiple docid-chunk
+        segments per (term, bucket); results must be unchanged."""
+        pdf, slices = _interleaved_slices(150, 3)
+        out = _appended_index(spark, tmp_path, "chunked", slices)
+        compact_index(spark, out, num_partitions=2, flush_docs=40)
+        idx = SearchIndex(spark, out)
+        segs = (
+            idx._postings.groupBy("term", "bucket").count()
+            .filter("count > 1").count()
+        )
+        assert segs > 0  # the chunk path actually ran
+        oracle = OracleIndex()
+        for r in pdf.sort_values("url").itertuples():
+            oracle.put(r.url, r.text)
+        for q in QUERIES:
+            got = [(r["url"], r["score"])
+                   for r in idx.search(q, "bm25", k=10).collect()]
+            exp = oracle.bm25_search(q, k=10)
+            assert [u for u, _ in got] == [u for u, _ in exp], q
+
+    def test_stale_staging_cleared(self, spark, tmp_path):
+        pdf, slices = _interleaved_slices(60, 2)
+        out = _appended_index(spark, tmp_path, "stale", slices)
+        stale = os.path.join(out, "_compact_tmp")
+        os.makedirs(os.path.join(stale, "data"))
+        with open(os.path.join(stale, "data", "junk"), "w") as f:
+            f.write("crashed run leftovers")
+        compact_index(spark, out, num_partitions=2)
+        assert not os.path.exists(stale)
+        urls = [u for _, u, _ in _docmap_rows(spark, out)]
+        assert urls == sorted(urls)

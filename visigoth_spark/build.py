@@ -734,6 +734,301 @@ def append_index(
         src.unpersist()
 
 
+def compact_index(
+    spark: SparkSession,
+    index_dir: str,
+    dest: str | None = None,
+    num_partitions: int | None = None,
+    flush_docs: int = 500_000,
+) -> BuildMetrics:
+    """Merge a multi-batch (appended) index back into the canonical
+    single-batch layout — the Lucene force-merge analogue for this engine
+    (north_rule "merge" clause; the reference never needs it because
+    ``MemoryIndex`` is one in-memory map, index_memory_index.go:11-18).
+
+    What compaction restores after a run of ``append_index`` calls:
+
+    - **url-ordered dense docids**: appended batches assign docids in ingest
+      order, so exact-score ties are broken by ingest order. Compaction
+      reassigns docids densely in global url order, restoring
+      (score DESC, docid ASC) ≡ (score DESC, url ASC) — the pure-batch-build
+      determinism contract (search_result.go:31-38).
+    - **bounded bucket count**: every append adds P fresh buckets; the
+      per-bucket query kernel fans out per bucket, so hundreds of appends
+      mean hundreds of tiny kernel groups. Compaction rewrites to exactly P
+      range-partitioned buckets.
+    - **one segment run per term**: per-term postings fragmented across
+      batch dirs collapse into at most ceil(bucket_docs/flush_docs) segments
+      per (term, bucket), cutting per-query decode/seek overhead.
+    - **term-range file layout**: compacted segment files are
+      range-partitioned AND sorted by term (the build's per-corpus-partition
+      files are only term-sorted *within* a file), so a query term's
+      segments for ALL buckets live in one file — row-group pruning touches
+      a single file per term instead of one per corpus partition.
+
+    Dataflow (never touches corpus text — compaction is metadata + postings
+    only, ~bytes_blob + docmap in, same out):
+
+      docmap (all batches) --repartitionByRange(url)--> pass 0 offsets
+        --mapInPandas--> map(docid_old -> docid_new, bucket_new) [staged]
+      segments --decode--> (term, docid_old, tf) [doclens ride in the blob]
+        --join map on docid_old (broadcast when small, SMJ at scale)-->
+        --groupBy(bucket, docid_new // flush_docs) applyInPandas-->
+          re-encoded segment rows  --repartitionByRange(term)--> write
+      termdict rebuilt; stats/manifests rewritten; for in-place compaction
+      the staged index swaps in via directory renames, with the previous
+      index preserved at ``_pre_compact`` until the swap completes.
+
+    Invariants preserved (asserted by tests/test_compact.py): the multiset
+    of per-term (url, tf, doclen) postings, n_docs, total_tokens,
+    n_postings, store_raw content, BM25 scores. Per-doc-range memory in the
+    encode stage is bounded by ``flush_docs`` docs per group — a group is a
+    (bucket, docid-chunk), never a whole term's posting list, so head-term
+    skew cannot concentrate in one task (same structural bound as the
+    build).
+
+    ``dest``: write the compacted index to a NEW directory, leaving
+    ``index_dir`` untouched (the safe cluster mode — repoint an alias after,
+    catalog.py). ``dest=None`` compacts in place: stage under
+    ``index_dir/_compact_tmp``, then swap via renames. The swap is a
+    single-writer maintenance window; a crash mid-swap leaves both halves on
+    disk (``_pre_compact`` + staged pieces) for manual recovery, and a stale
+    ``_compact_tmp`` from a crashed run is cleared on the next call.
+    """
+    import shutil
+
+    import visigoth_spark
+
+    visigoth_spark.ensure_shipped(spark)
+    t0 = time.time()
+    stats = load_stats(index_dir)
+    in_place = dest is None
+    stage = os.path.join(index_dir, "_compact_tmp") if in_place else dest
+    if in_place and os.path.exists(stage):
+        shutil.rmtree(stage)  # stale staging from a crashed prior run
+    os.makedirs(stage, exist_ok=True)
+
+    old_root = os.path.join(index_dir, "data")
+    data = spark.read.option("basePath", old_root).parquet(old_root)
+    has_raw = bool(stats.get("store_raw")) and "raw" in data.columns
+    doc_cols = ["docid", "url", "doclen"] + (["raw"] if has_raw else [])
+    docmap_old = data.filter(F.col("kind") == "d").select(*doc_cols)
+
+    P = num_partitions or spark.sparkContext.defaultParallelism * 2
+    # secondary sort on old docid: a url ingested twice (the reference
+    # appends duplicates as distinct docs) keeps ingest order within the tie
+    src = (
+        docmap_old.repartitionByRange(P, "url")
+        .sortWithinPartitions("url", "docid")
+        .persist()
+    )
+    try:
+        offsets = _partition_offsets(src)
+        n_docs = offsets.pop(-1)
+        if n_docs == 0:
+            raise ValueError("cannot compact an empty index")
+        P = len(offsets)
+
+        def remap_gen(iterator):
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            next_id = offsets.get(pid, 0)
+            for pdf in iterator:
+                n = len(pdf)
+                if n == 0:
+                    continue
+                out = pd.DataFrame(
+                    {
+                        "docid_old": pdf["docid"].to_numpy(np.int64),
+                        "docid": np.arange(next_id, next_id + n,
+                                           dtype=np.int64),
+                        "bucket": np.full(n, pid, dtype=np.int32),
+                        "url": pdf["url"].to_numpy(dtype=object),
+                        "doclen": pdf["doclen"].to_numpy(np.int32),
+                        "raw": (pdf["raw"].to_numpy(dtype=object)
+                                if "raw" in pdf.columns
+                                else np.full(n, None, dtype=object)),
+                    }
+                )
+                next_id += n
+                yield out
+
+        # stage the docid map as parquet: the range shuffle samples
+        # boundaries nondeterministically, so the TWO downstream consumers
+        # (docmap write, postings join) must read ONE pinned materialization
+        map_path = os.path.join(stage, "map")
+        src.mapInPandas(
+            remap_gen,
+            "docid_old long, docid long, bucket int, url string, "
+            "doclen int, raw string",
+        ).write.mode("overwrite").parquet(map_path)
+    finally:
+        src.unpersist()
+    map_df = spark.read.parquet(map_path)
+
+    # ---- new docmap (kind=d), docid-sorted files, 4 MB row groups ----------
+    batch_path = os.path.join(stage, "data", "batch=0")
+    n = F.lit
+    docmap_new = map_df.repartitionByRange(
+        P, "docid"
+    ).sortWithinPartitions("docid").select(
+        n("d").alias("kind"), "bucket", n("").alias("term"),
+        n(0).alias("df_seg"), n(0).cast("long").alias("sum_tf"),
+        n(0).cast("long").alias("min_docid"),
+        n(0).cast("long").alias("max_docid"),
+        n(b"").cast("binary").alias("blob"),
+        n(b"").cast("binary").alias("skips"),
+        "docid", "url", "doclen",
+        (F.col("raw") if has_raw else n(None).cast("string")).alias("raw"),
+    )
+    (
+        docmap_new.write.mode("overwrite")
+        .option("parquet.block.size", str(4 * 1024 * 1024))
+        .partitionBy("kind")
+        .parquet(batch_path)
+    )
+
+    # ---- postings: decode -> remap -> re-encode ----------------------------
+    from visigoth_spark.codec import decode_segment
+
+    def explode_gen(iterator):
+        for pdf in iterator:
+            if len(pdf) == 0:
+                continue
+            terms = pdf["term"].to_numpy(dtype=object)
+            ids_acc, tfs_acc, reps = [], [], []
+            for blob in pdf["blob"]:
+                d, tf, _dl = decode_segment(bytes(blob))
+                ids_acc.append(d)
+                tfs_acc.append(tf)
+                reps.append(len(d))
+            yield pd.DataFrame(
+                {
+                    "term": np.repeat(terms, reps),
+                    "docid_old": np.concatenate(ids_acc),
+                    "tf": np.concatenate(tfs_acc),
+                }
+            )
+
+    exploded = (
+        data.filter(F.col("kind") == "s")
+        .select("term", "blob")
+        .mapInPandas(explode_gen, "term string, docid_old long, tf long")
+    )
+    joined = exploded.join(
+        map_df.select("docid_old", "docid", "bucket", "doclen"), "docid_old"
+    ).withColumn("chunk", F.floor(F.col("docid") / F.lit(flush_docs)))
+
+    def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        t = pdf["term"].to_numpy(dtype=object)
+        d = pdf["docid"].to_numpy(np.int64)
+        tf = pdf["tf"].to_numpy(np.int64)
+        dl = pdf["doclen"].to_numpy(np.int64)
+        order = np.lexsort((d, t))
+        return _seg_frame(t[order], d[order], tf[order], dl[order],
+                          int(pdf["bucket"].iloc[0]))
+
+    n_seg_files = max(1, min(64, P))
+    (
+        joined.groupBy("bucket", "chunk")
+        .applyInPandas(encode_group, OUT_SCHEMA)
+        .repartitionByRange(n_seg_files, "term")
+        .sortWithinPartitions("term", "bucket")
+        .write.mode("append")
+        .option("parquet.block.size", str(4 * 1024 * 1024))
+        .partitionBy("kind")
+        .parquet(batch_path)
+    )
+
+    # ---- termdict + manifests + stats --------------------------------------
+    new_root = os.path.join(stage, "data")
+    seg_meta = _seg_meta(spark, batch_path)
+    td_path = os.path.join(stage, "termdict")
+    seg_all = (
+        spark.read.option("basePath", new_root).parquet(new_root)
+        .filter(F.col("kind") == "s")
+    )
+    n_td = max(1, min(32, P // 4))
+    (
+        seg_all.groupBy("term")
+        .agg(F.sum("df_seg").alias("df"), F.sum("sum_tf").alias("sum_tf"))
+        .repartitionByRange(n_td, "term")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .option("parquet.block.size", str(1 << 20))
+        .parquet(td_path)
+    )
+
+    manifest_dir = os.path.join(stage, "_manifests")
+    os.makedirs(manifest_dir, exist_ok=True)
+    pids = sorted(offsets)
+    part_sizes = [offsets[p + 1] - offsets[p] for p in pids[:-1]]
+    part_sizes.append(n_docs - offsets[pids[-1]])
+    wall = time.time() - t0
+    _write_manifest(
+        os.path.join(manifest_dir, "batch_0.json"),
+        kind="batch", batch=0, compacted=True,
+        compacted_from=stats.get("n_batches", 1),
+        partitions=pids,
+        docid_range=[0, n_docs],
+        n_docs=n_docs,
+        bucket_width=max(part_sizes),
+        n_segments=int(seg_meta["n_segments"] or 0),
+        n_postings=int(seg_meta["n_postings"] or 0),
+        total_tokens=int(seg_meta["total_tokens"] or 0),
+        bytes_blob=int(seg_meta["bytes_blob"] or 0),
+        wall_sec=wall,
+    )
+    _write_manifest(os.path.join(manifest_dir, "termdict.json"),
+                    kind="termdict", wall_sec=wall)
+    new_stats = dict(stats)
+    new_stats.update(
+        n_docs=n_docs,
+        total_tokens=int(seg_meta["total_tokens"] or 0),
+        avgdl=int(seg_meta["total_tokens"] or 0) / n_docs,
+        n_postings=int(seg_meta["n_postings"] or 0),
+        n_segments=int(seg_meta["n_segments"] or 0),
+        bytes_blob=int(seg_meta["bytes_blob"] or 0),
+        bucket_width=max(part_sizes),
+        n_buckets=P,
+        n_batches=1,
+        store_raw=has_raw,
+        compacted_at_sec=time.time(),
+        built_at_sec=time.time(),
+        wall_sec=wall,
+    )
+    with open(os.path.join(stage, "stats.json"), "w") as f:
+        json.dump(new_stats, f, indent=2)
+    shutil.rmtree(map_path)  # staging artifact, not part of the index
+
+    if in_place:
+        # swap: previous index parked at _pre_compact until the new one is
+        # fully in place, then deleted. Single-writer maintenance window.
+        pre = os.path.join(index_dir, "_pre_compact")
+        if os.path.exists(pre):
+            shutil.rmtree(pre)
+        os.makedirs(pre)
+        pieces = ("data", "termdict", "_manifests", "stats.json")
+        for name in pieces:
+            os.replace(os.path.join(index_dir, name),
+                       os.path.join(pre, name))
+        for name in pieces:
+            os.replace(os.path.join(stage, name),
+                       os.path.join(index_dir, name))
+        shutil.rmtree(pre)
+        shutil.rmtree(stage)
+
+    return BuildMetrics(
+        n_docs=n_docs,
+        n_postings=int(seg_meta["n_postings"] or 0),
+        n_segments=int(seg_meta["n_segments"] or 0),
+        bytes_blob=int(seg_meta["bytes_blob"] or 0),
+        total_tokens=int(seg_meta["total_tokens"] or 0),
+        wall_sec=time.time() - t0,
+    )
+
+
 def _write_manifest(path: str, **kv) -> None:
     tmp = path + ".tmp"
     with open(tmp, "w") as f:

@@ -153,6 +153,30 @@ def cmd_query(argv: list[str]) -> int:
     return 0
 
 
+def cmd_compact(argv: list[str]) -> int:
+    """Merge appended batches into the canonical single-batch layout
+    (build.compact_index): url-ordered dense docids, P range buckets,
+    term-range-partitioned segment files."""
+    p = argparse.ArgumentParser(prog="cli compact")
+    p.add_argument("--index", required=True)
+    p.add_argument("--dest", default=None,
+                   help="write the compacted index HERE instead of "
+                        "swapping in place (then repoint the alias)")
+    p.add_argument("--partitions", type=int, default=None)
+    a = p.parse_args(argv)
+    from visigoth_spark.build import compact_index
+
+    spark = _session("visigoth-compact")
+    m = compact_index(spark, a.index, dest=a.dest,
+                      num_partitions=a.partitions)
+    print(json.dumps({
+        "n_docs": m.n_docs, "n_postings": m.n_postings,
+        "n_segments": m.n_segments, "bytes_blob": m.bytes_blob,
+        "wall_sec": round(m.wall_sec, 2),
+    }))
+    return 0
+
+
 def cmd_inspect(argv: list[str]) -> int:
     p = argparse.ArgumentParser(prog="cli inspect")
     p.add_argument("--index", required=True)
@@ -164,7 +188,8 @@ def cmd_inspect(argv: list[str]) -> int:
 
 
 def main() -> int:
-    cmds = {"build": cmd_build, "query": cmd_query, "inspect": cmd_inspect}
+    cmds = {"build": cmd_build, "query": cmd_query,
+            "compact": cmd_compact, "inspect": cmd_inspect}
     if len(sys.argv) < 2 or sys.argv[1] not in cmds:
         print(f"usage: cli.py {{{'|'.join(cmds)}}} ...", file=sys.stderr)
         return 2

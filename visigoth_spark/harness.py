@@ -400,6 +400,53 @@ def q_bm25_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-then-COMPACT production path under driver correctness: the
+    documents table is ingested in three interleaved slices (build + two
+    appends — docids land in ingest order, per-term postings fragment
+    across three batch dirs), then ``compact_index`` rewrites the index to
+    the canonical single-batch layout (url-ordered dense docids, merged
+    segments, term-range files). The same stemmed WAND query as
+    ``vg_bm25_stemmed`` must then hash-match the same DuckDB oracle — the
+    oracle is ingest-path-invariant, so a match pins decode → docid remap →
+    re-encode end-to-end against an independent engine."""
+    import hashlib
+    import os
+    import tempfile
+
+    from visigoth_spark.analysis import AnalyzerConfig
+    from visigoth_spark.build import append_index, build_index, compact_index
+    from visigoth_spark.query import SearchIndex
+
+    analyzer = AnalyzerConfig(stopwords=frozenset({"the", "a"}), stem=True)
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    out = os.path.join(tempfile.gettempdir(), "vg_compact_harness", key,
+                       "idx")
+    done = os.path.join(os.path.dirname(out), "COMPACTED")
+    if not os.path.exists(done):
+        docs = _docs(spark, sf_dir).select(
+            F.format_string("doc-%012d", F.col("doc_id")).alias("url"),
+            "text", (F.col("doc_id") % 3).alias("slice"),
+        )
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
+        build_index(spark, docs.filter("slice = 0").drop("slice"), out,
+                    analyzer=analyzer, num_partitions=4)
+        for s in (1, 2):
+            append_index(spark, docs.filter(f"slice = {s}").drop("slice"),
+                         out, analyzer=analyzer, num_partitions=2)
+        compact_index(spark, out, num_partitions=4)
+        with open(done, "w") as f:
+            f.write("ok")
+    idx = SearchIndex(spark, out, analyzer=analyzer)
+    res = idx.search("tables data", engine="bm25", k=10)
+    return res.select(
+        F.expr("cast(substring(url, 5, 12) as bigint)").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
+
+
 STEM_QUERY_STEMS = ("dat", "tabl")  # analyze("tables data") under Snowball-es
 
 
@@ -503,6 +550,9 @@ def get_oracles() -> dict[str, str]:
     """The full oracle map, including the lazily-built stemmed entry."""
     d = dict(ORACLES)
     d["vg_bm25_stemmed"] = sql_bm25_stemmed()
+    # the compacted index serves the same query over the same corpus — the
+    # oracle is ingest-path-invariant by construction
+    d["vg_bm25_compacted"] = sql_bm25_stemmed()
     return d
 
 
@@ -994,6 +1044,7 @@ QUERIES = {
     "vg_doclen_stats": q_doclen_stats,
     "vg_bm25_topk": q_bm25_topk,
     "vg_bm25_stemmed": q_bm25_stemmed,
+    "vg_bm25_compacted": q_bm25_compacted,
     "vg_bm25_or_topk": q_bm25_or_topk,
     "vg_hits_duplicate_tokens": q_hits_duplicate_tokens,
     "vg_missing_term_early_exit": q_missing_term_early_exit,
