@@ -469,9 +469,38 @@ def main() -> None:
         batch_wall = min(batch_wall, time.time() - t0)
     batch_qps = len(batch_qs) / batch_wall
 
+    # --- compaction (force-merge) at bench scale -----------------------------
+    # timed rewrite of the full index (decode -> url-order docid remap ->
+    # re-encode, term-range segment files), then the same query suite on the
+    # compacted layout — the serving layout after a run of appends
+    from visigoth_spark.build import compact_index
     from visigoth_spark.build import load_stats as _load_stats
 
-    hi_stats = _load_stats(idx_hi)
+    hi_stats = _load_stats(idx_hi)  # build-layout stats, pre-compaction
+    t0 = time.time()
+    cm = compact_index(spark, idx_hi, num_partitions=cores_hi * 2)
+    compact_wall = time.time() - t0
+    idx_c = SearchIndex(spark, idx_hi)
+    idx_c.search("programación", "bm25", 10).collect()  # warm
+    queries_c: dict[str, float] = {}
+    for _pass in range(2):
+        for name, q, engine in QUERY_SUITE:
+            t0 = time.time()
+            idx_c.search(q, engine, 10).collect()
+            dt = round(time.time() - t0, 4)
+            if name not in queries_c or dt < queries_c[name]:
+                queries_c[name] = dt
+    bm25_lat_c = [queries_c[name] for name, _, eng in QUERY_SUITE
+                  if eng == "bm25"]
+    compact_info = {
+        "wall": round(compact_wall, 2),
+        "docs_per_sec": round(n_docs / compact_wall, 1),
+        "n_segments": cm.n_segments,
+        "bytes_blob": cm.bytes_blob,
+        "queries": queries_c,
+        "bm25_p50": round(statistics.median(bm25_lat_c), 4),
+    }
+
     shutil.rmtree(tmp_hi, ignore_errors=True)
 
     p50 = statistics.median(bm25_lat)
@@ -511,6 +540,7 @@ def main() -> None:
         "bm25_latency": {"p50": round(p50, 4), "p95": round(p95, 4)},
         "batch": {"queries": len(batch_qs), "wall": round(batch_wall, 3),
                   "qps": round(batch_qps, 1)},
+        "compact": compact_info,
         "resume": resume_info,
         "index": index_info,
     }
@@ -539,6 +569,8 @@ pairs in the JSON. Details + host-noise evidence: BASELINE.md.
 | batched query throughput | {r['batch']['qps']} q/s | search_many: {r['batch']['queries']} queries in ONE job ({r['batch']['wall']} s), best of 2 |
 | posting blob bytes/posting | {r['index']['bytes_per_posting']} | delta+varbyte incl. tf+doclen streams |
 | index blob / corpus bytes | {r['index']['blob_to_corpus_ratio']} | {r['index']['bytes_blob']} / {r['index']['corpus_bytes']} |
+| compaction (force-merge) wall | {r['compact']['wall']} s | full rewrite: decode -> url-order remap -> re-encode, local[{b['cores_hi']}] |
+| BM25 p50 on compacted layout | {r['compact']['bm25_p50']} s | term-range segment files, best of 2 passes |
 | batched (8-checkpoint) cold build wall | {r['resume']['cold_batched_wall']} s | n_batches=8, local[{b['cores_hi']}] |
 | kill+resume: resumed-build wall | {r['resume']['resume_wall']} s | SIGKILL at {r['resume']['killed_after_sec']} s ({r['resume']['batches_committed_at_kill']}/8 batches committed); resume completes only the rest |
 | resumed ≡ cold segments | {r['resume']['segments_identical_to_cold']} | content digest over every posting segment row |
