@@ -146,3 +146,45 @@ def test_repo_level_determinism(cat, spark):
         for _ in range(5)
     ]
     assert all(r == runs[0] for r in runs)
+
+
+def test_append_via_alias_fans_out_and_compact(cat, spark):
+    # ≙ IndexRepo.Put's APPEND semantics (repos_repo.go:216-238): putting
+    # through an alias appends to every aliased index, never rebuilds
+    pdf = generate_corpus(120).sort_values("url").reset_index(drop=True)
+    first, second = pdf.iloc[0::2], pdf.iloc[1::2]
+
+    def df(p):
+        return spark.createDataFrame(p[["url", "text", "lang"]])
+
+    cat.ingest("i1", df(first), num_partitions=2)
+    cat.ingest("i2", df(first), num_partitions=2)
+    cat.alias("live", "i1")
+    cat.alias("live", "i2")
+    assert sorted(cat.append("live", df(second), num_partitions=2)) == [
+        "i1", "i2"]
+
+    from visigoth_spark.build import load_stats
+
+    for t in ("i1", "i2"):
+        st = load_stats(cat._index_dir(t))
+        assert st["n_docs"] == 120 and st["n_batches"] == 2
+
+    hits_appended = {(r["url"], r["hits"]) for r in cat.search(
+        "live", "curso", "hits", k=None).collect()}
+
+    # compact through the alias: both indexes fold to one batch, search
+    # results unchanged
+    assert sorted(cat.compact("live", num_partitions=2)) == ["i1", "i2"]
+    for t in ("i1", "i2"):
+        st = load_stats(cat._index_dir(t))
+        assert st["n_docs"] == 120 and st["n_batches"] == 1
+    hits_compacted = {(r["url"], r["hits"]) for r in cat.search(
+        "live", "curso", "hits", k=None).collect()}
+    assert hits_compacted == hits_appended
+
+
+def test_append_lazily_creates_index(cat, spark):
+    cat.append("fresh", _corpus(spark, 40), num_partitions=2)
+    assert cat.has("fresh")
+    assert cat.search("fresh", "curso", "hits", k=None).count() > 0

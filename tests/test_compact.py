@@ -236,3 +236,49 @@ class TestCompactModes:
         assert not os.path.exists(stale)
         urls = [u for _, u, _ in _docmap_rows(spark, out)]
         assert urls == sorted(urls)
+
+
+class TestCompactStreamingInterplay:
+    def test_stream_epoch_ledger_survives_compaction(self, spark, tmp_path):
+        """Compaction must carry the streaming epoch ledger
+        (stream_epochs.json) across the _manifests swap: a restarted stream
+        replays its last epoch, and a lost ledger would re-ingest it as a
+        duplicate batch."""
+        from visigoth_spark.streaming import foreach_batch_indexer
+
+        pdf = generate_corpus(120).sort_values("url").reset_index(drop=True)
+        p1, p2 = pdf.iloc[:80], pdf.iloc[80:]
+        out = str(tmp_path / "sidx")
+        fn = foreach_batch_indexer(out, num_partitions=2)
+        fn(_df(spark, p1), epoch_id=0)
+        fn(_df(spark, p2), epoch_id=1)
+        compact_index(spark, out, num_partitions=2)
+        st = load_stats(out)
+        assert st["n_docs"] == 120 and st["n_batches"] == 1
+
+        fn(_df(spark, p2), epoch_id=1)  # checkpoint replay after compaction
+        st = load_stats(out)
+        assert st["n_docs"] == 120 and st["n_batches"] == 1  # skipped
+
+        fn(_df(spark, p2.iloc[:20]), epoch_id=2)  # stream continues
+        st = load_stats(out)
+        assert st["n_docs"] == 140 and st["n_batches"] == 2
+
+    def test_orphan_batch_excluded_from_compaction(self, spark, tmp_path):
+        """A crashed append leaves a batch dir with no manifest (healed by
+        the next append's overwrite). Compaction must fold only COMMITTED
+        batches — folding the orphan would make the uncommitted ingest
+        permanent and duplicate its docid range."""
+        import shutil
+
+        pdf, slices = _interleaved_slices(120, 2)
+        out = _appended_index(spark, tmp_path, "orph", slices)
+        src = os.path.join(out, "data", "batch=1")
+        shutil.copytree(src, os.path.join(out, "data", "batch=9"))
+        compact_index(spark, out, num_partitions=2)
+        st = load_stats(out)
+        assert st["n_docs"] == 120
+        rows = _docmap_rows(spark, out)
+        assert len(rows) == 120
+        assert [d for d, _, _ in rows] == list(range(120))
+        assert sorted(u for _, u, _ in rows) == sorted(pdf["url"])

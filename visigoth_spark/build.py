@@ -810,6 +810,11 @@ def compact_index(
 
     old_root = os.path.join(index_dir, "data")
     data = spark.read.option("basePath", old_root).parquet(old_root)
+    # fold ONLY committed batches: a crashed append leaves an orphan
+    # batch dir (visible to queries transiently, healed by the next append)
+    # — folding it here would make the uncommitted ingest permanent
+    committed = [m["batch"] for m in _batch_manifests(index_dir)]
+    data = data.filter(F.col("batch").isin(committed))
     has_raw = bool(stats.get("store_raw")) and "raw" in data.columns
     doc_cols = ["docid", "url", "doclen"] + (["raw"] if has_raw else [])
     docmap_old = data.filter(F.col("kind") == "d").select(*doc_cols)
@@ -982,6 +987,17 @@ def compact_index(
     )
     _write_manifest(os.path.join(manifest_dir, "termdict.json"),
                     kind="termdict", wall_sec=wall)
+    # carry over non-batch manifest state — e.g. the streaming epoch ledger
+    # (stream_epochs.json): losing it across the swap would make a restarted
+    # stream re-ingest its replayed epochs as duplicates
+    old_manifest_dir = os.path.join(index_dir, "_manifests")
+    for fname in sorted(os.listdir(old_manifest_dir)):
+        if fname.startswith("batch_") or fname == "termdict.json" or (
+            fname.endswith(".tmp")
+        ):
+            continue
+        shutil.copy2(os.path.join(old_manifest_dir, fname),
+                     os.path.join(manifest_dir, fname))
     new_stats = dict(stats)
     new_stats.update(
         n_docs=n_docs,

@@ -98,6 +98,43 @@ class Catalog:
                         analyzer=self.analyzer, **build_kwargs)
         return targets
 
+    def append(self, name: str, corpus: DataFrame,
+               **append_kwargs) -> list[str]:
+        """Incremental Put (≙ IndexRepo.Put, repos_repo.go:216-238: the
+        reference's Put APPENDS documents to every index behind the name —
+        it never rebuilds). Fans ``build.append_index`` out to all targets;
+        lazily creates the index when the name is unknown, exactly like
+        ``ingest``. The appended batches can later be folded back into the
+        canonical layout with :meth:`compact`."""
+        from visigoth_spark.build import append_index
+
+        targets = self._resolve(name)
+        if not targets:
+            m = self._load()
+            m["indexes"].append(name)
+            self._save(m)
+            targets = [name]
+        for t in targets:
+            append_index(self.spark, corpus, self._index_dir(t),
+                         analyzer=self.analyzer, **append_kwargs)
+        return targets
+
+    def compact(self, name: str,
+                num_partitions: int | None = None) -> list[str]:
+        """Force-merge every index behind ``name`` (an index or an alias)
+        back to the canonical single-batch layout (build.compact_index,
+        in-place swap). Aliases reference index NAMES, not paths, so they
+        remain valid across the swap."""
+        from visigoth_spark.build import compact_index
+
+        targets = self._resolve(name)
+        if not targets:
+            raise KeyError(f"index {name!r} does not exist")
+        for t in targets:
+            compact_index(self.spark, self._index_dir(t),
+                          num_partitions=num_partitions)
+        return targets
+
     # ---- D2: search with alias fan-out --------------------------------------
     def search(self, name: str, query: str, engine: str = "bm25",
                k: int | None = 10, include_raw: bool = False) -> DataFrame:
