@@ -282,3 +282,79 @@ class TestCompactStreamingInterplay:
         assert len(rows) == 120
         assert [d for d, _, _ in rows] == list(range(120))
         assert sorted(u for _, u, _ in rows) == sorted(pdf["url"])
+
+
+class TestFileLevelTermPruning:
+    """compact_index writes _manifests/segfiles.json (per-file term
+    ranges); SearchIndex._seg_scan enumerates only covering files. The
+    pruned plan must be invisible semantically: same results as the full
+    hive scan, and appends must invalidate the manifest."""
+
+    def test_manifest_written_and_results_identical(self, spark, tmp_path):
+        pdf, slices = _interleaved_slices(150, 3)
+        out = _appended_index(spark, tmp_path, "fp", slices)
+        compact_index(spark, out, num_partitions=4)
+        mpath = os.path.join(out, "_manifests", "segfiles.json")
+        assert os.path.exists(mpath)
+        idx = SearchIndex(spark, out)
+        assert idx._segfiles is not None and len(idx._segfiles) >= 2
+        # disjoint, ordered file ranges
+        ordered = sorted(idx._segfiles, key=lambda e: e["term_min"])
+        for a, b in zip(ordered, ordered[1:]):
+            assert a["term_max"] <= b["term_min"]
+        pruned = {}
+        for q in QUERIES:
+            pruned[q] = [(r["url"], r["score"], r["hits"]) for r in
+                         idx.search(q, "bm25", k=10).collect()]
+        os.remove(mpath)
+        full = SearchIndex(spark, out)
+        assert full._segfiles is None
+        for q in QUERIES:
+            got = [(r["url"], r["score"], r["hits"]) for r in
+                   full.search(q, "bm25", k=10).collect()]
+            assert got == pruned[q], q
+
+    def test_all_terms_outside_ranges_returns_empty(self, spark, tmp_path):
+        pdf, slices = _interleaved_slices(60, 2)
+        out = _appended_index(spark, tmp_path, "fp2", slices)
+        compact_index(spark, out, num_partitions=2)
+        idx = SearchIndex(spark, out)
+        # 'ÿÿÿÿ' (U+00FF) sorts after every fixture term — including
+        # 'über' (ü = U+00FC > 'z') -> zero files selected
+        assert idx._seg_scan(["ÿÿÿÿ"]) is None
+        assert idx.search("ÿÿÿÿ", "hits", k=10).count() == 0
+
+    def test_append_invalidates_manifest(self, spark, tmp_path):
+        import pandas as pd
+
+        pdf, slices = _interleaved_slices(60, 2)
+        out = _appended_index(spark, tmp_path, "fp3", slices)
+        compact_index(spark, out, num_partitions=2)
+        assert os.path.exists(
+            os.path.join(out, "_manifests", "segfiles.json"))
+        extra = pd.DataFrame({
+            "url": ["zz-new-doc"],
+            "text": ["palabrarara inventada"],
+            "lang": ["es"],
+        })
+        append_index(spark, _df(spark, extra), out, num_partitions=1)
+        assert not os.path.exists(
+            os.path.join(out, "_manifests", "segfiles.json"))
+        idx = SearchIndex(spark, out)
+        got = [r["url"] for r in
+               idx.search("palabrarara", "bm25", k=5).collect()]
+        assert got == ["zz-new-doc"]
+
+    def test_search_many_pruned_parity(self, spark, tmp_path):
+        pdf, slices = _interleaved_slices(90, 3)
+        out = _appended_index(spark, tmp_path, "fp4", slices)
+        compact_index(spark, out, num_partitions=3)
+        idx = SearchIndex(spark, out)
+        assert idx._segfiles is not None
+        batch = idx.search_many(QUERIES, "bm25", k=10).collect()
+        singles = []
+        for qid, q in enumerate(QUERIES):
+            for r in idx.search(q, "bm25", k=10).collect():
+                singles.append((qid, r["url"], r["score"], r["hits"]))
+        got = [(r["qid"], r["url"], r["score"], r["hits"]) for r in batch]
+        assert got == singles

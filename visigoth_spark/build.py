@@ -662,6 +662,14 @@ def append_index(
         part_sizes = [offsets[p] for p in sorted(offsets)]
         widths = [b - a for a, b in zip(part_sizes, part_sizes[1:])]
         widths.append(base_docid + n_new - part_sizes[-1])
+        # invalidate the compaction-era file-range manifest BEFORE the
+        # commit point: it does not cover the new batch's files, and a
+        # query planning from a stale manifest would miss the new postings.
+        # (Removed first so a crash between the two steps only loses the
+        # optimization, never correctness.)
+        segfiles = os.path.join(manifest_dir, "segfiles.json")
+        if os.path.exists(segfiles):
+            os.remove(segfiles)
         # commit point: the manifest makes the batch part of the index
         _write_manifest(
             os.path.join(manifest_dir, f"batch_{batch_id}.json"),
@@ -985,15 +993,47 @@ def compact_index(
         bytes_blob=int(seg_meta["bytes_blob"] or 0),
         wall_sec=wall,
     )
-    _write_manifest(os.path.join(manifest_dir, "termdict.json"),
-                    kind="termdict", wall_sec=wall)
+    # file-level term-range manifest: compacted segment files are
+    # term-range partitioned (disjoint ranges), so recording each file's
+    # (term_min, term_max) lets SearchIndex enumerate ~1 file per query
+    # term instead of scheduling a split per segment file (query.py
+    # _seg_scan). One driver-side footer sweep — metadata only, no row
+    # reads; parquet stats truncation is conservative (min rounds down,
+    # max rounds up), so pruning on these bounds can only over-include.
+    import pyarrow.parquet as pq_
+
+    seg_dir = os.path.join(batch_path, "kind=s")
+    sf_entries = []
+    for fn in sorted(os.listdir(seg_dir)):
+        if not fn.endswith(".parquet"):
+            continue
+        full = os.path.join(seg_dir, fn)
+        md = pq_.ParquetFile(full).metadata
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        ti = names.index("term")
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ti).statistics
+            if st is None or st.min is None or st.max is None:
+                mins, maxs = [], []
+                break
+            mins.append(st.min)
+            maxs.append(st.max)
+        rel = os.path.relpath(full, stage)  # stage root becomes index root
+        sf_entries.append({
+            "path": rel,
+            "term_min": min(mins) if mins else None,
+            "term_max": max(maxs) if maxs else None,
+        })
+    _write_manifest(os.path.join(manifest_dir, "segfiles.json"),
+                    files=sf_entries)
     # carry over non-batch manifest state — e.g. the streaming epoch ledger
     # (stream_epochs.json): losing it across the swap would make a restarted
     # stream re-ingest its replayed epochs as duplicates
     old_manifest_dir = os.path.join(index_dir, "_manifests")
     for fname in sorted(os.listdir(old_manifest_dir)):
-        if fname.startswith("batch_") or fname == "termdict.json" or (
-            fname.endswith(".tmp")
+        if fname.startswith("batch_") or fname.endswith(".tmp") or (
+            fname in ("termdict.json", "segfiles.json")  # regenerated above
         ):
             continue
         shutil.copy2(os.path.join(old_manifest_dir, fname),

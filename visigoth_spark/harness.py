@@ -419,7 +419,10 @@ def q_bm25_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from visigoth_spark.query import SearchIndex
 
     analyzer = AnalyzerConfig(stopwords=frozenset({"the", "a"}), stem=True)
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    # "v2:" = compacted-layout version, bumped when compact_index's output
+    # changes (v2 adds the segfiles.json file-range manifest) so a cached
+    # pre-upgrade index doesn't silently skip the new pruned query path
+    key = hashlib.md5(("v2:" + sf_dir).encode()).hexdigest()[:10]
     out = os.path.join(tempfile.gettempdir(), "vg_compact_harness", key,
                        "idx")
     done = os.path.join(os.path.dirname(out), "COMPACTED")

@@ -89,6 +89,20 @@ class SearchIndex:
             ["raw"] if self.has_raw else []
         )
         self._docmap = data.filter(F.col("kind") == "d").select(*doc_cols)
+        # file-level term-range manifest (written by build.compact_index,
+        # invalidated by append_index): lets the query plan enumerate ONLY
+        # the segment files whose term range covers a query term — the
+        # Lucene term-dictionary -> segment-seek analogue at file level.
+        # Catalyst's row-group pruning still evaluates inside a task per
+        # file, so without this a 10^5-file index schedules 10^5 file
+        # splits per query.
+        self._segfiles = None
+        sf_path = os.path.join(index_dir, "_manifests", "segfiles.json")
+        if os.path.exists(sf_path):
+            import json
+
+            with open(sf_path) as f:
+                self._segfiles = json.load(f)["files"]
 
     def cache(self) -> "SearchIndex":
         """Pin the postings + docmap in executor memory (the warm-index
@@ -98,7 +112,47 @@ class SearchIndex:
         self._docmap = self._docmap.persist()
         self._postings.count()
         self._docmap.count()
+        # the pinned in-memory postings beat a per-query file enumeration —
+        # route queries through the cached DataFrame instead
+        self._segfiles = None
         return self
+
+    _SEG_COLS = ["term", "bucket", "min_docid", "blob", "skips"]
+
+    def _seg_scan(self, terms: list[str], cols: list[str] | None = None):
+        """Pruned postings scan for these query terms. With a compacted
+        index's segfiles manifest, enumerate ONLY the files whose term
+        range intersects the terms (file ranges are disjoint after
+        compaction, so this is ~1 file per term); parquet-mr truncates
+        binary column stats conservatively (min rounds down, max rounds
+        up), so the range check can only over-include, never miss a file.
+        Returns None when no file can contain any term. Falls back to the
+        full hive-partitioned scan (row-group pruning only) for
+        non-compacted indexes and cached serving mode. ``cols`` overrides
+        the projected columns (default ``_SEG_COLS``)."""
+        cols = cols or self._SEG_COLS
+        if self._segfiles is not None:
+            paths = [
+                os.path.join(self.index_dir, e["path"])
+                for e in self._segfiles
+                if e.get("term_min") is None  # stats absent: can't exclude
+                or any(e["term_min"] <= t <= e["term_max"] for t in terms)
+            ]
+            if not paths:
+                return None
+            schema = ("bucket int, term string, df_seg int, sum_tf long, "
+                      "min_docid long, max_docid long, blob binary, "
+                      "skips binary, docid long, url string, doclen int, "
+                      "raw string")
+            return (
+                self.spark.read.schema(schema).parquet(*paths)
+                .filter(F.col("term").isin(terms))
+                .select(*cols)
+            )
+        return (
+            self._postings.filter(F.col("term").isin(terms))
+            .select(*cols)
+        )
 
     # ---- Indexer primitives (B3-B5) ---------------------------------------
     def __len__(self) -> int:
@@ -127,9 +181,11 @@ class SearchIndex:
                 return out
             except Exception:
                 pass
+        seg = self._seg_scan(terms, cols=["term", "df_seg"])
+        if seg is None:  # no segment file's term range covers any term
+            return out
         rows = (
-            self._postings.filter(F.col("term").isin(terms))
-            .groupBy("term")
+            seg.groupBy("term")
             .agg(F.sum("df_seg").alias("df"))
             .collect()
         )
@@ -175,11 +231,10 @@ class SearchIndex:
 
     def indexed(self, term: str) -> np.ndarray:
         """Posting-list lookup (≙ MemoryIndex.Indexed) — decoded docids."""
-        rows = (
-            self._postings.filter(F.col("term") == term)
-            .select("bucket", "min_docid", "blob")
-            .collect()
-        )
+        seg = self._seg_scan([term])
+        if seg is None:  # no segment file's term range covers it
+            return np.zeros(0, dtype=np.int64)
+        rows = seg.select("bucket", "min_docid", "blob").collect()
         if not rows:
             return np.zeros(0, dtype=np.int64)
         parts = [decode_segment(bytes(r["blob"]))[0]
@@ -241,9 +296,9 @@ class SearchIndex:
             for t in terms
         }
 
-        seg = self._postings.filter(F.col("term").isin(terms)).select(
-            "term", "bucket", "min_docid", "blob", "skips"
-        )
+        seg = self._seg_scan(terms)
+        if seg is None:  # no segment file can contain any query term
+            return self._empty_result(include_raw)
         kernel = _make_kernel(engine, terms, multiplicity, idf, avgdl,
                               threshold=len(tokens), k=k, dfs=dfs)
         local = seg.groupBy("bucket").applyInPandas(kernel, RESULT_KERNEL_SCHEMA)
@@ -362,9 +417,9 @@ class SearchIndex:
                 })
             return pd.concat(outs, ignore_index=True)
 
-        seg = self._postings.filter(F.col("term").isin(live_terms)).select(
-            "term", "bucket", "min_docid", "blob", "skips"
-        )
+        seg = self._seg_scan(live_terms)
+        if seg is None:  # no segment file can contain any live term
+            return self._empty_batch_result(include_raw)
         local = seg.groupBy("bucket").applyInPandas(
             multi_kernel, "qid int, " + RESULT_KERNEL_SCHEMA
         ).collect()
