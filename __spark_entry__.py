@@ -4,14 +4,16 @@
   (visigoth_spark.build) over the sf0.001 documents table and runs a top-k
   BM25 search through the per-bucket intersection kernel (visigoth_spark.
   query).
-- ``queries()`` / ``oracle_sql()``: 27 paired entries — engine semantics
+- ``queries()`` / ``oracle_sql()``: 28 paired entries — engine semantics
   (hits incl. duplicate-token weighting / linear / missing-term early exit /
   match-all / noop-zero / AND-BM25 / OR-BM25 / term df / corpus stats)
   re-expressed as relational plans, plus ``vg_bm25_stemmed`` (the REAL
   production path: Snowball-stemmed compressed index + block-max-WAND
   engine vs a DuckDB oracle with a transcribed stem-mapping table),
   ``vg_bm25_compacted`` (build + two appends + segment compaction —
-  force-merge — vs the same ingest-path-invariant oracle), plus
+  force-merge — vs the same ingest-path-invariant oracle),
+  ``vg_bm25_merged`` (same ingest but tiered MINOR compaction,
+  ``merge_appends``: file-layout-only merge, scores byte-identical), plus
   the training-data pipeline operators (dedup exact / jaccard with a live
   shingle-df cap / minhash-LSH with a bucket cap / simhash /
   embedding-cosine near-dup via sign-LSH, ANN cosine + IVF top-k, lang-id,

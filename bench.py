@@ -469,6 +469,55 @@ def main() -> None:
         batch_wall = min(batch_wall, time.time() - t0)
     batch_qps = len(batch_qs) / batch_wall
 
+    # --- tiered minor merge (merge_appends) at bench scale -------------------
+    # copy the warm index, append two 5% slices of fresh docs (the L0 state a
+    # streaming ingest accumulates), run the bm25 suite on the fragmented
+    # index, time the file-layout-only merge, run the suite again on the
+    # merged tier. The compaction block below uses the UNTOUCHED original so
+    # its numbers stay comparable round over round.
+    from visigoth_spark.build import append_index, merge_appends
+    from visigoth_spark.corpus import generate_corpus
+
+    def _suite_best2(ix) -> dict[str, float]:
+        ix.search("programación", "bm25", 10).collect()  # warm
+        out: dict[str, float] = {}
+        for _pass in range(2):
+            for name, q, engine in QUERY_SUITE:
+                t0 = time.time()
+                ix.search(q, engine, 10).collect()
+                dt = round(time.time() - t0, 4)
+                if name not in out or dt < out[name]:
+                    out[name] = dt
+        return out
+
+    def _bm25_p50(qs: dict[str, float]) -> float:
+        return round(statistics.median(
+            [qs[n] for n, _, e in QUERY_SUITE if e == "bm25"]), 4)
+
+    idx_m = os.path.join(tmp_hi, "idx_merge")
+    shutil.copytree(idx_hi, idx_m)
+    n_app = max(1_000, n_docs // 20)
+    extra = generate_corpus(2 * n_app, seed=1042)
+    extra["url"] = "m-" + extra["url"]
+    for half in (extra.iloc[:n_app], extra.iloc[n_app:]):
+        append_index(
+            spark, spark.createDataFrame(half[["url", "text", "lang"]]),
+            idx_m, num_partitions=cores_hi,
+        )
+    queries_pre = _suite_best2(SearchIndex(spark, idx_m))
+    t0 = time.time()
+    merge_appends(spark, idx_m, num_partitions=cores_hi * 2)
+    merge_wall = time.time() - t0
+    queries_m = _suite_best2(SearchIndex(spark, idx_m))
+    merge_info = {
+        "wall": round(merge_wall, 2),
+        "appended_docs": 2 * n_app,
+        "bm25_p50_appended": _bm25_p50(queries_pre),
+        "bm25_p50_merged": _bm25_p50(queries_m),
+        "queries": queries_m,
+    }
+    shutil.rmtree(idx_m, ignore_errors=True)
+
     # --- compaction (force-merge) at bench scale -----------------------------
     # timed rewrite of the full index (decode -> url-order docid remap ->
     # re-encode, term-range segment files), then the same query suite on the
@@ -540,6 +589,7 @@ def main() -> None:
         "bm25_latency": {"p50": round(p50, 4), "p95": round(p95, 4)},
         "batch": {"queries": len(batch_qs), "wall": round(batch_wall, 3),
                   "qps": round(batch_qps, 1)},
+        "merge": merge_info,
         "compact": compact_info,
         "resume": resume_info,
         "index": index_info,
@@ -569,6 +619,8 @@ pairs in the JSON. Details + host-noise evidence: BASELINE.md.
 | batched query throughput | {r['batch']['qps']} q/s | search_many: {r['batch']['queries']} queries in ONE job ({r['batch']['wall']} s), best of 2 |
 | posting blob bytes/posting | {r['index']['bytes_per_posting']} | delta+varbyte incl. tf+doclen streams |
 | index blob / corpus bytes | {r['index']['blob_to_corpus_ratio']} | {r['index']['bytes_blob']} / {r['index']['corpus_bytes']} |
+| minor merge (merge_appends) wall | {r['merge']['wall']} s | file-layout-only tier merge of 2 appended batches ({r['merge']['appended_docs']} docs), local[{b['cores_hi']}] |
+| BM25 p50: appended (pre-merge) vs merged | {r['merge']['bm25_p50_appended']} s -> {r['merge']['bm25_p50_merged']} s | same index, best of 2 passes each |
 | compaction (force-merge) wall | {r['compact']['wall']} s | full rewrite: decode -> url-order remap -> re-encode, local[{b['cores_hi']}] |
 | BM25 p50 on compacted layout | {r['compact']['bm25_p50']} s | term-range segment files, best of 2 passes |
 | batched (8-checkpoint) cold build wall | {r['resume']['cold_batched_wall']} s | n_batches=8, local[{b['cores_hi']}] |

@@ -188,3 +188,35 @@ def test_append_lazily_creates_index(cat, spark):
     cat.append("fresh", _corpus(spark, 40), num_partitions=2)
     assert cat.has("fresh")
     assert cat.search("fresh", "curso", "hits", k=None).count() > 0
+
+
+def test_merge_via_alias_fans_out(cat, spark):
+    # tiered MINOR compaction through an alias: every aliased index folds
+    # its appended batches into one tier; results byte-identical
+    pdf = generate_corpus(120).sort_values("url").reset_index(drop=True)
+    s0, s1, s2 = pdf.iloc[0::3], pdf.iloc[1::3], pdf.iloc[2::3]
+
+    def df(p):
+        return spark.createDataFrame(p[["url", "text", "lang"]])
+
+    cat.ingest("m1", df(s0), num_partitions=2)
+    cat.ingest("m2", df(s0), num_partitions=2)
+    cat.alias("mlive", "m1")
+    cat.alias("mlive", "m2")
+    for s in (s1, s2):
+        cat.append("mlive", df(s), num_partitions=2)
+
+    before = [(r["url"], r["docid"], round(float(r["score"]), 12))
+              for r in cat.search("mlive", "curso", "bm25", k=10).collect()]
+    assert sorted(cat.merge("mlive", num_partitions=2)) == ["m1", "m2"]
+
+    from visigoth_spark.build import load_stats
+
+    for t in ("m1", "m2"):
+        st = load_stats(cat._index_dir(t))
+        assert st["n_docs"] == 120 and st["n_batches"] == 2  # base + tier
+    after = [(r["url"], r["docid"], round(float(r["score"]), 12))
+             for r in cat.search("mlive", "curso", "bm25", k=10).collect()]
+    assert after == before
+    # already merged: one appended tier left -> below min_batches, no-op
+    assert cat.merge("mlive", num_partitions=2) == []

@@ -55,6 +55,7 @@ from __future__ import annotations
 import json
 import math
 import os
+import shutil
 import time
 from dataclasses import dataclass
 
@@ -547,6 +548,21 @@ def _batch_manifests(out_dir: str) -> list[dict]:
     return sorted(out, key=lambda m: m["batch"])
 
 
+def _visible_batches(out_dir: str) -> list[dict]:
+    """Committed batch manifests that are CURRENTLY part of the index:
+    a merged batch's manifest carries ``replaces=[...]``, which hides the
+    batches it subsumed even while their manifests/dirs still exist (the
+    window between a merge's manifest commit and its GC). This — one
+    atomic manifest write flipping visibility — is what makes
+    ``merge_appends`` crash-atomic without a directory swap: readers and
+    stats plan from this set, never from a directory listing."""
+    ms = _batch_manifests(out_dir)
+    replaced: set[int] = set()
+    for m in ms:
+        replaced.update(m.get("replaces", []))
+    return [m for m in ms if m["batch"] not in replaced]
+
+
 def append_index(
     spark: SparkSession,
     corpus: DataFrame,
@@ -580,9 +596,10 @@ def append_index(
       (or an idempotent replay with pinned ``batch_id``/``base_docid`` —
       see streaming.foreach_batch_indexer) will claim and overwrite — the
       docid-disjoint-segment invariant cannot be violated by a partial
-      append. Queries in that window may see the orphan's postings with
-      slightly stale global stats; the next committed append heals both
-      (stats are recomputed from all manifests, not incremented).
+      append. The orphan is INVISIBLE to queries in that window:
+      ``SearchIndex`` and the termdict/stats refreshes plan from the
+      committed batch manifests (``_visible_batches``), never from a
+      directory listing.
 
     Ordering note: WITHIN each appended batch docids follow url order; ACROSS
     batches they follow ingest order (the reference's semantics — its docids
@@ -686,12 +703,17 @@ def append_index(
             wall_sec=time.time() - t0,
         )
 
-        # refresh the term dictionary (global df/sum_tf changed)
+        # refresh the term dictionary (global df/sum_tf changed). Fold only
+        # VISIBLE batches: an orphan dir from a crashed append, or a batch
+        # already subsumed by a merge whose GC didn't finish, must not
+        # inflate global df.
         data_root = os.path.join(out_dir, "data")
         td_path = os.path.join(out_dir, "termdict")
+        visible = [m["batch"] for m in _visible_batches(out_dir)]
         seg_all = (
             spark.read.option("basePath", data_root).parquet(data_root)
             .filter(F.col("kind") == "s")
+            .filter(F.col("batch").isin(visible))
         )
         n_td = max(1, min(32, (bucket_base + P) // 4))
         (
@@ -706,10 +728,11 @@ def append_index(
         _write_manifest(os.path.join(manifest_dir, "termdict.json"),
                         kind="termdict", wall_sec=time.time() - t0)
 
-        # stats: RECOMPUTED from all committed manifests (idempotent under
-        # replay — a re-run of the same pinned batch converges, never
-        # double-counts), not incremented from the possibly-stale cache
-        manifests = _batch_manifests(out_dir)
+        # stats: RECOMPUTED from the VISIBLE committed manifests (idempotent
+        # under replay — a re-run of the same pinned batch converges, never
+        # double-counts; a merge's half-GC'd leftovers don't inflate totals),
+        # not incremented from the possibly-stale cache
+        manifests = _visible_batches(out_dir)
         stats["n_docs"] = max(m.get("docid_range", [0, 0])[1]
                               for m in manifests)
         stats["total_tokens"] = sum(m.get("total_tokens", 0)
@@ -740,6 +763,154 @@ def append_index(
         )
     finally:
         src.unpersist()
+
+
+def merge_appends(
+    spark: SparkSession,
+    index_dir: str,
+    num_partitions: int | None = None,
+    min_batches: int = 2,
+) -> BuildMetrics | None:
+    """Tiered (minor) compaction: collapse the appended/previously-merged
+    batches into ONE term-range-partitioned batch without touching the
+    base build batches and WITHOUT decoding a single posting blob — the
+    LSM / Lucene tiered-merge analogue, with ``compact_index`` as the
+    major compaction (the reference never needs either: ``MemoryIndex``
+    is one in-memory map, index_memory_index.go:11-18).
+
+    - **File-layout only.** Segment rows (one per (term, bucket, chunk);
+      the blob stays opaque) are rewritten ``repartitionByRange(term)`` so
+      the merged tier gets ~disjoint per-file term ranges; docmap rows are
+      rewritten docid-range partitioned. Docids, buckets, scores and
+      result order are byte-identical to the pre-merge index — no docid
+      remap, no re-encode, no text touched.
+    - **Bounds query fan-out.** N appends leave N batch dirs and ~N file
+      splits per query term; after a merge a term touches ~1 merged file,
+      and the regenerated ``segfiles.json`` covers EVERY visible segment
+      file, so file-level pruning serves the whole index again (appends
+      invalidate it).
+    - **Crash-atomic via manifest visibility, not a directory swap.** The
+      merged batch dir is written under ``data/`` but stays invisible
+      (readers plan from batch manifests) until its own manifest —
+      carrying ``replaces=[...]`` — is atomically written. A crash before
+      that leaves an inert orphan dir, reclaimed by the next merge; a
+      crash after it but before GC leaves replaced manifests that
+      ``_visible_batches`` already hides. Single concurrent writer, same
+      as ``append_index`` (pause streams across a merge).
+
+    At 10^12-doc scale this is the steady-state maintenance op: appends
+    accumulate small L0 batches, ``merge_appends`` rolls them into the L1
+    tier at file-shuffle cost, and the full rewrite (url-order remap +
+    re-encode) runs rarely, when the ingest-order tiebreak or bucket-count
+    drift starts to matter.
+
+    Returns the merged batch's metrics, or None when fewer than
+    ``min_batches`` appended batches exist."""
+    t0 = time.time()
+    import visigoth_spark
+
+    visigoth_spark.ensure_shipped(spark)
+    stats = load_stats(index_dir)
+    manifest_dir = os.path.join(index_dir, "_manifests")
+    to_merge = [m for m in _visible_batches(index_dir)
+                if m.get("appended") or m.get("merged")]
+    if len(to_merge) < min_batches:
+        return None
+    src_ids = [m["batch"] for m in to_merge]
+    data_root = os.path.join(index_dir, "data")
+    new_batch = 1 + max(m["batch"] for m in _batch_manifests(index_dir))
+    # never claim a batch id a stream epoch has durably ALLOCATED but not
+    # yet committed (stream_epochs.json): the epoch's crash-replay writes
+    # its pinned batch id mode=overwrite and would destroy the merged batch
+    ledger = os.path.join(manifest_dir, "stream_epochs.json")
+    if os.path.exists(ledger):
+        with open(ledger) as f:
+            epochs = json.load(f)
+        new_batch = max(new_batch, 1 + max(
+            (r["batch"] for r in epochs.values() if "batch" in r),
+            default=-1,
+        ))
+    batch_path = os.path.join(data_root, f"batch={new_batch}")
+    if os.path.exists(batch_path):
+        shutil.rmtree(batch_path)  # inert orphan from a crashed prior merge
+    paths = [os.path.join(data_root, f"batch={b}") for b in src_ids]
+    rows = spark.read.option("basePath", data_root).parquet(*paths)
+    P = num_partitions or spark.sparkContext.defaultParallelism * 2
+    (
+        rows.filter(F.col("kind") == "s").drop("batch")
+        .repartitionByRange(max(1, min(64, P)), "term")
+        .sortWithinPartitions("term", "bucket", "min_docid")
+        .write.mode("overwrite")
+        .option("parquet.block.size", str(4 * 1024 * 1024))
+        .partitionBy("kind")
+        .parquet(batch_path)
+    )
+    (
+        rows.filter(F.col("kind") == "d").drop("batch")
+        .repartitionByRange(max(1, min(32, P)), "docid")
+        .sortWithinPartitions("docid")
+        .write.mode("append")
+        .option("parquet.block.size", str(4 * 1024 * 1024))
+        .partitionBy("kind")
+        .parquet(batch_path)
+    )
+    seg_meta = _seg_meta(spark, batch_path)
+    # commit point: ONE atomic manifest write makes the merged batch
+    # visible and simultaneously hides the batches it replaces
+    _write_manifest(
+        os.path.join(manifest_dir, f"batch_{new_batch}.json"),
+        kind="batch", batch=new_batch, merged=True,
+        replaces=src_ids,
+        docid_range=[min(m["docid_range"][0] for m in to_merge),
+                     max(m["docid_range"][1] for m in to_merge)],
+        n_docs=sum(m["n_docs"] for m in to_merge),
+        buckets=sorted({b for m in to_merge
+                        for b in m.get("buckets", [])}),
+        bucket_width=max(m.get("bucket_width", 0) for m in to_merge),
+        n_segments=int(seg_meta["n_segments"] or 0),
+        n_postings=int(seg_meta["n_postings"] or 0),
+        total_tokens=int(seg_meta["total_tokens"] or 0),
+        bytes_blob=int(seg_meta["bytes_blob"] or 0),
+        wall_sec=time.time() - t0,
+    )
+    # GC the replaced batches: manifests first (visibility already hides
+    # them), dirs after — a crash anywhere in here is harmless
+    for b in src_ids:
+        mp = os.path.join(manifest_dir, f"batch_{b}.json")
+        if os.path.exists(mp):
+            os.remove(mp)
+    for b in src_ids:
+        shutil.rmtree(os.path.join(data_root, f"batch={b}"),
+                      ignore_errors=True)
+    # file-range manifest over EVERY visible segment file: the merged tier
+    # contributes tight disjoint ranges; base batches whatever their footer
+    # stats give (wide for the build layout, tight after a full compaction)
+    vis_after = _visible_batches(index_dir)
+    _write_segfiles_manifest(
+        index_dir, manifest_dir,
+        [os.path.join(data_root, f"batch={m['batch']}", "kind=s")
+         for m in vis_after],
+    )
+    # stats: recomputed from the visible manifests (same rule as append)
+    stats["n_docs"] = max(m.get("docid_range", [0, 0])[1]
+                          for m in vis_after)
+    stats["total_tokens"] = sum(m.get("total_tokens", 0) for m in vis_after)
+    stats["avgdl"] = stats["total_tokens"] / stats["n_docs"]
+    stats["n_postings"] = sum(m.get("n_postings", 0) for m in vis_after)
+    stats["n_segments"] = sum(m.get("n_segments", 0) for m in vis_after)
+    stats["bytes_blob"] = sum(m.get("bytes_blob", 0) for m in vis_after)
+    stats["n_batches"] = len(vis_after)
+    stats["merged_at_sec"] = time.time()
+    with open(os.path.join(index_dir, "stats.json"), "w") as f:
+        json.dump(stats, f, indent=2)
+    return BuildMetrics(
+        n_docs=stats["n_docs"],
+        n_postings=int(seg_meta["n_postings"] or 0),
+        n_segments=int(seg_meta["n_segments"] or 0),
+        bytes_blob=int(seg_meta["bytes_blob"] or 0),
+        total_tokens=int(seg_meta["total_tokens"] or 0),
+        wall_sec=time.time() - t0,
+    )
 
 
 def compact_index(
@@ -818,10 +989,11 @@ def compact_index(
 
     old_root = os.path.join(index_dir, "data")
     data = spark.read.option("basePath", old_root).parquet(old_root)
-    # fold ONLY committed batches: a crashed append leaves an orphan
-    # batch dir (visible to queries transiently, healed by the next append)
-    # — folding it here would make the uncommitted ingest permanent
-    committed = [m["batch"] for m in _batch_manifests(index_dir)]
+    # fold ONLY visible batches: a crashed append leaves an orphan batch
+    # dir (invisible to queries — SearchIndex plans from the manifests) and
+    # a crashed merge_appends can leave a replaced batch's manifest behind
+    # — folding either would make uncommitted/duplicate ingest permanent
+    committed = [m["batch"] for m in _visible_batches(index_dir)]
     data = data.filter(F.col("batch").isin(committed))
     has_raw = bool(stats.get("store_raw")) and "raw" in data.columns
     doc_cols = ["docid", "url", "doclen"] + (["raw"] if has_raw else [])
@@ -997,36 +1169,9 @@ def compact_index(
     # term-range partitioned (disjoint ranges), so recording each file's
     # (term_min, term_max) lets SearchIndex enumerate ~1 file per query
     # term instead of scheduling a split per segment file (query.py
-    # _seg_scan). One driver-side footer sweep — metadata only, no row
-    # reads; parquet stats truncation is conservative (min rounds down,
-    # max rounds up), so pruning on these bounds can only over-include.
-    import pyarrow.parquet as pq_
-
-    seg_dir = os.path.join(batch_path, "kind=s")
-    sf_entries = []
-    for fn in sorted(os.listdir(seg_dir)):
-        if not fn.endswith(".parquet"):
-            continue
-        full = os.path.join(seg_dir, fn)
-        md = pq_.ParquetFile(full).metadata
-        names = [md.schema.column(i).name for i in range(md.num_columns)]
-        ti = names.index("term")
-        mins, maxs = [], []
-        for rg in range(md.num_row_groups):
-            st = md.row_group(rg).column(ti).statistics
-            if st is None or st.min is None or st.max is None:
-                mins, maxs = [], []
-                break
-            mins.append(st.min)
-            maxs.append(st.max)
-        rel = os.path.relpath(full, stage)  # stage root becomes index root
-        sf_entries.append({
-            "path": rel,
-            "term_min": min(mins) if mins else None,
-            "term_max": max(maxs) if maxs else None,
-        })
-    _write_manifest(os.path.join(manifest_dir, "segfiles.json"),
-                    files=sf_entries)
+    # _seg_scan). The stage root becomes the index root after the swap.
+    _write_segfiles_manifest(stage, manifest_dir,
+                             [os.path.join(batch_path, "kind=s")])
     # carry over non-batch manifest state — e.g. the streaming epoch ledger
     # (stream_epochs.json): losing it across the swap would make a restarted
     # stream re-ingest its replayed epochs as duplicates
@@ -1083,6 +1228,50 @@ def compact_index(
         total_tokens=int(seg_meta["total_tokens"] or 0),
         wall_sec=time.time() - t0,
     )
+
+
+def _write_segfiles_manifest(root: str, manifest_dir: str,
+                             seg_dirs: list[str]) -> None:
+    """Record every segment file's (term_min, term_max) — from parquet
+    footer stats — in ``_manifests/segfiles.json`` so the query planner
+    (query.py::_seg_scan) enumerates only the files whose range covers a
+    query term. One driver-side footer sweep: metadata only, no row reads.
+    Parquet stats truncation is conservative (min rounds down, max rounds
+    up), so pruning on these bounds can only over-include, never miss a
+    file. Paths are stored relative to ``root`` (the directory that will
+    be the index root when the manifest is read). A ``seg_dirs`` entry
+    that does not exist (a batch whose docs all analyzed to zero tokens
+    writes no kind=s dir) is skipped. A file with absent stats gets null
+    bounds — the planner always includes it."""
+    import pyarrow.parquet as pq_
+
+    sf_entries = []
+    for seg_dir in seg_dirs:
+        if not os.path.isdir(seg_dir):
+            continue
+        for fn in sorted(os.listdir(seg_dir)):
+            if not fn.endswith(".parquet"):
+                continue
+            full = os.path.join(seg_dir, fn)
+            md = pq_.ParquetFile(full).metadata
+            names = [md.schema.column(i).name
+                     for i in range(md.num_columns)]
+            ti = names.index("term")
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ti).statistics
+                if st is None or st.min is None or st.max is None:
+                    mins, maxs = [], []
+                    break
+                mins.append(st.min)
+                maxs.append(st.max)
+            sf_entries.append({
+                "path": os.path.relpath(full, root),
+                "term_min": min(mins) if mins else None,
+                "term_max": max(maxs) if maxs else None,
+            })
+    _write_manifest(os.path.join(manifest_dir, "segfiles.json"),
+                    files=sf_entries)
 
 
 def _write_manifest(path: str, **kv) -> None:

@@ -119,6 +119,27 @@ class Catalog:
                          analyzer=self.analyzer, **append_kwargs)
         return targets
 
+    def merge(self, name: str,
+              num_partitions: int | None = None,
+              min_batches: int = 2) -> list[str]:
+        """Tiered MINOR compaction for every index behind ``name`` (an
+        index or an alias): collapse its appended batches into one
+        term-range tier (build.merge_appends — file layout only, results
+        byte-identical). Indexes with fewer than ``min_batches`` appended
+        batches are left untouched; returns the names actually merged."""
+        from visigoth_spark.build import merge_appends
+
+        targets = self._resolve(name)
+        if not targets:
+            raise KeyError(f"index {name!r} does not exist")
+        merged = []
+        for t in targets:
+            if merge_appends(self.spark, self._index_dir(t),
+                             num_partitions=num_partitions,
+                             min_batches=min_batches) is not None:
+                merged.append(t)
+        return merged
+
     def compact(self, name: str,
                 num_partitions: int | None = None) -> list[str]:
         """Force-merge every index behind ``name`` (an index or an alias)

@@ -177,6 +177,33 @@ def cmd_compact(argv: list[str]) -> int:
     return 0
 
 
+def cmd_merge(argv: list[str]) -> int:
+    """Tiered (minor) compaction (build.merge_appends): collapse the
+    appended batches into one term-range-partitioned tier — no docid
+    remap, no blob re-encode, results byte-identical."""
+    p = argparse.ArgumentParser(prog="cli merge")
+    p.add_argument("--index", required=True)
+    p.add_argument("--partitions", type=int, default=None)
+    p.add_argument("--min-batches", type=int, default=2)
+    a = p.parse_args(argv)
+    from visigoth_spark.build import merge_appends
+
+    spark = _session("visigoth-merge")
+    m = merge_appends(spark, a.index, num_partitions=a.partitions,
+                      min_batches=a.min_batches)
+    if m is None:
+        print(json.dumps({"merged": False,
+                          "reason": f"fewer than {a.min_batches} "
+                                    "appended batches"}))
+        return 0
+    print(json.dumps({
+        "merged": True, "n_docs": m.n_docs, "n_postings": m.n_postings,
+        "n_segments": m.n_segments, "bytes_blob": m.bytes_blob,
+        "wall_sec": round(m.wall_sec, 2),
+    }))
+    return 0
+
+
 def cmd_inspect(argv: list[str]) -> int:
     p = argparse.ArgumentParser(prog="cli inspect")
     p.add_argument("--index", required=True)
@@ -189,7 +216,8 @@ def cmd_inspect(argv: list[str]) -> int:
 
 def main() -> int:
     cmds = {"build": cmd_build, "query": cmd_query,
-            "compact": cmd_compact, "inspect": cmd_inspect}
+            "compact": cmd_compact, "merge": cmd_merge,
+            "inspect": cmd_inspect}
     if len(sys.argv) < 2 or sys.argv[1] not in cmds:
         print(f"usage: cli.py {{{'|'.join(cmds)}}} ...", file=sys.stderr)
         return 2

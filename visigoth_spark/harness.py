@@ -450,6 +450,50 @@ def q_bm25_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-then-MINOR-MERGE production path under driver correctness:
+    same three-slice ingest as ``vg_bm25_compacted``, but the maintenance
+    op is ``merge_appends`` — the tiered merge that rewrites file layout
+    only (no docid remap, no blob re-encode). The same stemmed WAND query
+    must hash-match the same ingest-path-invariant DuckDB oracle, pinning
+    the merged tier + regenerated file-range manifest end-to-end."""
+    import hashlib
+    import os
+    import tempfile
+
+    from visigoth_spark.analysis import AnalyzerConfig
+    from visigoth_spark.build import append_index, build_index, merge_appends
+    from visigoth_spark.query import SearchIndex
+
+    analyzer = AnalyzerConfig(stopwords=frozenset({"the", "a"}), stem=True)
+    key = hashlib.md5(("v1:" + sf_dir).encode()).hexdigest()[:10]
+    out = os.path.join(tempfile.gettempdir(), "vg_merge_harness", key,
+                       "idx")
+    done = os.path.join(os.path.dirname(out), "MERGED")
+    if not os.path.exists(done):
+        docs = _docs(spark, sf_dir).select(
+            F.format_string("doc-%012d", F.col("doc_id")).alias("url"),
+            "text", (F.col("doc_id") % 3).alias("slice"),
+        )
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
+        build_index(spark, docs.filter("slice = 0").drop("slice"), out,
+                    analyzer=analyzer, num_partitions=4)
+        for s in (1, 2):
+            append_index(spark, docs.filter(f"slice = {s}").drop("slice"),
+                         out, analyzer=analyzer, num_partitions=2)
+        merge_appends(spark, out, num_partitions=4)
+        with open(done, "w") as f:
+            f.write("ok")
+    idx = SearchIndex(spark, out, analyzer=analyzer)
+    res = idx.search("tables data", engine="bm25", k=10)
+    return res.select(
+        F.expr("cast(substring(url, 5, 12) as bigint)").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
+
+
 STEM_QUERY_STEMS = ("dat", "tabl")  # analyze("tables data") under Snowball-es
 
 
@@ -556,6 +600,9 @@ def get_oracles() -> dict[str, str]:
     # the compacted index serves the same query over the same corpus — the
     # oracle is ingest-path-invariant by construction
     d["vg_bm25_compacted"] = sql_bm25_stemmed()
+    # ...and so does the minor-merged index (merge_appends changes file
+    # layout only — docids, blobs and scores are untouched)
+    d["vg_bm25_merged"] = sql_bm25_stemmed()
     return d
 
 
@@ -1048,6 +1095,7 @@ QUERIES = {
     "vg_bm25_topk": q_bm25_topk,
     "vg_bm25_stemmed": q_bm25_stemmed,
     "vg_bm25_compacted": q_bm25_compacted,
+    "vg_bm25_merged": q_bm25_merged,
     "vg_bm25_or_topk": q_bm25_or_topk,
     "vg_hits_duplicate_tokens": q_hits_duplicate_tokens,
     "vg_missing_term_early_exit": q_missing_term_early_exit,

@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from visigoth_spark.analysis import AnalyzerConfig, DEFAULT_ANALYZER, analyze_text
-from visigoth_spark.build import load_stats
+from visigoth_spark.build import _visible_batches, load_stats
 from visigoth_spark.codec import (
     BM25_B,
     BM25_K1,
@@ -74,7 +74,23 @@ class SearchIndex:
         self.analyzer = analyzer
         self.stats = load_stats(index_dir)
         data_root = f"{index_dir}/data"
-        data = spark.read.option("basePath", data_root).parquet(data_root)
+        # plan from the batch MANIFESTS, not a directory listing: an orphan
+        # batch dir (crashed append, or a merge that hadn't committed) is
+        # invisible, and a batch replaced by merge_appends stays hidden even
+        # while its dir awaits GC. Falls back to the directory listing for
+        # indexes without manifests.
+        try:
+            self._batches = [m["batch"]
+                             for m in _visible_batches(index_dir)]
+        except (FileNotFoundError, KeyError):
+            self._batches = []
+        if self._batches:
+            data = spark.read.option("basePath", data_root).parquet(
+                *[os.path.join(data_root, f"batch={b}")
+                  for b in self._batches]
+            )
+        else:
+            data = spark.read.option("basePath", data_root).parquet(data_root)
         # kind is a partition directory -> these filters prune whole files
         self._postings = data.filter(F.col("kind") == "s").select(
             "term", "bucket", "df_seg", "sum_tf", "min_docid", "max_docid",
@@ -120,12 +136,15 @@ class SearchIndex:
     _SEG_COLS = ["term", "bucket", "min_docid", "blob", "skips"]
 
     def _seg_scan(self, terms: list[str], cols: list[str] | None = None):
-        """Pruned postings scan for these query terms. With a compacted
-        index's segfiles manifest, enumerate ONLY the files whose term
-        range intersects the terms (file ranges are disjoint after
-        compaction, so this is ~1 file per term); parquet-mr truncates
-        binary column stats conservatively (min rounds down, max rounds
-        up), so the range check can only over-include, never miss a file.
+        """Pruned postings scan for these query terms. With a segfiles
+        manifest (written by compact_index and merge_appends), enumerate
+        ONLY the files whose term range intersects the terms: after a full
+        compaction every file owns a disjoint range (~1 file per term);
+        after a minor merge the merged tier is disjoint while base
+        build-layout files may span wide ranges — they match everything,
+        which is correct, just unpruned. Parquet truncates binary column
+        stats conservatively (min rounds down, max rounds up), so the
+        range check can only over-include, never miss a file.
         Returns None when no file can contain any term. Falls back to the
         full hive-partitioned scan (row-group pruning only) for
         non-compacted indexes and cached serving mode. ``cols`` overrides
@@ -206,10 +225,13 @@ class SearchIndex:
                 os.path.join(self.index_dir, "data"), format="parquet",
                 partitioning="hive",
             )
-            tbl = data.to_table(
-                columns=cols,
-                filter=(ds.field("kind") == "d") & ds.field("docid").isin(ids),
-            )
+            flt = (ds.field("kind") == "d") & ds.field("docid").isin(ids)
+            if self._batches:
+                # exclude orphan/replaced batch dirs — their docmap rows
+                # can carry the SAME docids as committed ones (a crashed
+                # append's successor reuses its range)
+                flt = flt & ds.field("batch").isin(self._batches)
+            tbl = data.to_table(columns=cols, filter=flt)
             raws = (tbl["raw"].to_pylist() if with_raw
                     else [None] * len(tbl))
             got = {
