@@ -358,3 +358,51 @@ class TestFileLevelTermPruning:
                 singles.append((qid, r["url"], r["score"], r["hits"]))
         got = [(r["qid"], r["url"], r["score"], r["hits"]) for r in batch]
         assert got == singles
+
+
+class TestDocfilesHydrationPruning:
+    """compact_index writes _manifests/docfiles.json (per-docmap-file docid
+    ranges); _docmap_for opens only covering files. Must be semantically
+    invisible, and appends must invalidate it."""
+
+    def test_hydration_identical_with_and_without_manifest(
+        self, spark, tmp_path
+    ):
+        pdf, slices = _interleaved_slices(120, 3)
+        out = _appended_index(spark, tmp_path, "df1", slices,
+                              store_raw=True)
+        compact_index(spark, out, num_partitions=3)
+        mpath = os.path.join(out, "_manifests", "docfiles.json")
+        assert os.path.exists(mpath)
+        idx = SearchIndex(spark, out)
+        assert idx._docfiles is not None
+        ids = [0, 7, 59, 119]
+        fast = idx._docmap_for(ids, with_raw=True)
+        assert set(fast) == set(ids)
+        os.remove(mpath)
+        slow = SearchIndex(spark, out)._docmap_for(ids, with_raw=True)
+        assert fast == slow
+        # raw round-trips through the pruned read
+        urls = {u: r for u, r in
+                zip(pdf["url"], pdf["text"])}
+        for d, (u, raw) in fast.items():
+            assert raw == urls[u]
+
+    def test_append_invalidates_docfiles(self, spark, tmp_path):
+        import pandas as pd
+
+        pdf, slices = _interleaved_slices(60, 2)
+        out = _appended_index(spark, tmp_path, "df2", slices)
+        compact_index(spark, out, num_partitions=2)
+        assert os.path.exists(
+            os.path.join(out, "_manifests", "docfiles.json"))
+        extra = pd.DataFrame({
+            "url": ["zz-df-new"], "text": ["palabrota nueva"],
+            "lang": ["es"],
+        })
+        append_index(spark, _df(spark, extra), out, num_partitions=1)
+        assert not os.path.exists(
+            os.path.join(out, "_manifests", "docfiles.json"))
+        idx = SearchIndex(spark, out)
+        got = idx._docmap_for([60])
+        assert got[60][0] == "zz-df-new"

@@ -679,14 +679,17 @@ def append_index(
         part_sizes = [offsets[p] for p in sorted(offsets)]
         widths = [b - a for a, b in zip(part_sizes, part_sizes[1:])]
         widths.append(base_docid + n_new - part_sizes[-1])
-        # invalidate the compaction-era file-range manifest BEFORE the
-        # commit point: it does not cover the new batch's files, and a
-        # query planning from a stale manifest would miss the new postings.
-        # (Removed first so a crash between the two steps only loses the
-        # optimization, never correctness.)
-        segfiles = os.path.join(manifest_dir, "segfiles.json")
-        if os.path.exists(segfiles):
-            os.remove(segfiles)
+        # invalidate the compaction/merge-era file-range manifests BEFORE
+        # the commit point: they do not cover the new batch's files, and a
+        # query planning from a stale segfiles would miss the new postings
+        # (a stale docfiles only costs the hydration fast path — its
+        # completeness check falls back — but is removed for symmetry).
+        # Removed first so a crash between the two steps only loses the
+        # optimization, never correctness.
+        for mf in ("segfiles.json", "docfiles.json"):
+            mp = os.path.join(manifest_dir, mf)
+            if os.path.exists(mp):
+                os.remove(mp)
         # commit point: the manifest makes the batch part of the index
         _write_manifest(
             os.path.join(manifest_dir, f"batch_{batch_id}.json"),
@@ -889,6 +892,11 @@ def merge_appends(
     _write_segfiles_manifest(
         index_dir, manifest_dir,
         [os.path.join(data_root, f"batch={m['batch']}", "kind=s")
+         for m in vis_after],
+    )
+    _write_docfiles_manifest(
+        index_dir, manifest_dir,
+        [os.path.join(data_root, f"batch={m['batch']}", "kind=d")
          for m in vis_after],
     )
     # stats: recomputed from the visible manifests (same rule as append)
@@ -1165,20 +1173,25 @@ def compact_index(
         bytes_blob=int(seg_meta["bytes_blob"] or 0),
         wall_sec=wall,
     )
-    # file-level term-range manifest: compacted segment files are
-    # term-range partitioned (disjoint ranges), so recording each file's
+    # file-level range manifests: compacted segment files are term-range
+    # partitioned (disjoint ranges), so recording each file's
     # (term_min, term_max) lets SearchIndex enumerate ~1 file per query
     # term instead of scheduling a split per segment file (query.py
-    # _seg_scan). The stage root becomes the index root after the swap.
+    # _seg_scan); likewise docmap files are docid-partitioned, so the
+    # docid ranges let hydration open ~1 file per result id (query.py
+    # _docmap_for). The stage root becomes the index root after the swap.
     _write_segfiles_manifest(stage, manifest_dir,
                              [os.path.join(batch_path, "kind=s")])
+    _write_docfiles_manifest(stage, manifest_dir,
+                             [os.path.join(batch_path, "kind=d")])
     # carry over non-batch manifest state — e.g. the streaming epoch ledger
     # (stream_epochs.json): losing it across the swap would make a restarted
     # stream re-ingest its replayed epochs as duplicates
     old_manifest_dir = os.path.join(index_dir, "_manifests")
     for fname in sorted(os.listdir(old_manifest_dir)):
         if fname.startswith("batch_") or fname.endswith(".tmp") or (
-            fname in ("termdict.json", "segfiles.json")  # regenerated above
+            # regenerated above
+            fname in ("termdict.json", "segfiles.json", "docfiles.json")
         ):
             continue
         shutil.copy2(os.path.join(old_manifest_dir, fname),
@@ -1230,48 +1243,70 @@ def compact_index(
     )
 
 
-def _write_segfiles_manifest(root: str, manifest_dir: str,
-                             seg_dirs: list[str]) -> None:
-    """Record every segment file's (term_min, term_max) — from parquet
-    footer stats — in ``_manifests/segfiles.json`` so the query planner
-    (query.py::_seg_scan) enumerates only the files whose range covers a
-    query term. One driver-side footer sweep: metadata only, no row reads.
-    Parquet stats truncation is conservative (min rounds down, max rounds
-    up), so pruning on these bounds can only over-include, never miss a
-    file. Paths are stored relative to ``root`` (the directory that will
-    be the index root when the manifest is read). A ``seg_dirs`` entry
-    that does not exist (a batch whose docs all analyzed to zero tokens
-    writes no kind=s dir) is skipped. A file with absent stats gets null
-    bounds — the planner always includes it."""
+def _sweep_file_ranges(root: str, dirs: list[str],
+                       column: str, key: str) -> list[dict]:
+    """Per-file (min, max) of ``column`` from parquet footer stats — one
+    driver-side metadata sweep, no row reads. Parquet stats truncation is
+    conservative (min rounds down, max rounds up), so pruning on these
+    bounds can only over-include, never miss a file. Paths are stored
+    relative to ``root`` (the directory that will be the index root when
+    the manifest is read). A ``dirs`` entry that does not exist (e.g. a
+    batch whose docs all analyzed to zero tokens writes no kind=s dir) is
+    skipped. A file with absent stats gets null bounds — planners must
+    always include it."""
     import pyarrow.parquet as pq_
 
-    sf_entries = []
-    for seg_dir in seg_dirs:
-        if not os.path.isdir(seg_dir):
+    entries = []
+    for d in dirs:
+        if not os.path.isdir(d):
             continue
-        for fn in sorted(os.listdir(seg_dir)):
+        for fn in sorted(os.listdir(d)):
             if not fn.endswith(".parquet"):
                 continue
-            full = os.path.join(seg_dir, fn)
+            full = os.path.join(d, fn)
             md = pq_.ParquetFile(full).metadata
             names = [md.schema.column(i).name
                      for i in range(md.num_columns)]
-            ti = names.index("term")
+            ci = names.index(column)
             mins, maxs = [], []
             for rg in range(md.num_row_groups):
-                st = md.row_group(rg).column(ti).statistics
+                st = md.row_group(rg).column(ci).statistics
                 if st is None or st.min is None or st.max is None:
                     mins, maxs = [], []
                     break
                 mins.append(st.min)
                 maxs.append(st.max)
-            sf_entries.append({
+            entries.append({
                 "path": os.path.relpath(full, root),
-                "term_min": min(mins) if mins else None,
-                "term_max": max(maxs) if maxs else None,
+                f"{key}_min": min(mins) if mins else None,
+                f"{key}_max": max(maxs) if maxs else None,
             })
-    _write_manifest(os.path.join(manifest_dir, "segfiles.json"),
-                    files=sf_entries)
+    return entries
+
+
+def _write_segfiles_manifest(root: str, manifest_dir: str,
+                             seg_dirs: list[str]) -> None:
+    """``_manifests/segfiles.json``: per-segment-file term ranges so the
+    query planner (query.py::_seg_scan) enumerates only the files whose
+    range covers a query term."""
+    _write_manifest(
+        os.path.join(manifest_dir, "segfiles.json"),
+        files=_sweep_file_ranges(root, seg_dirs, "term", "term"),
+    )
+
+
+def _write_docfiles_manifest(root: str, manifest_dir: str,
+                             doc_dirs: list[str]) -> None:
+    """``_manifests/docfiles.json``: per-docmap-file docid ranges so
+    result hydration (query.py::_docmap_for) opens only the files covering
+    the k result ids instead of sweeping every docmap footer. Docmap files
+    are docid-sorted both in the build layout (docids assigned in
+    partition order) and after merge/compact rewrites, so ranges are tight
+    and ~disjoint."""
+    _write_manifest(
+        os.path.join(manifest_dir, "docfiles.json"),
+        files=_sweep_file_ranges(root, doc_dirs, "docid", "docid"),
+    )
 
 
 def _write_manifest(path: str, **kv) -> None:

@@ -419,10 +419,11 @@ def q_bm25_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from visigoth_spark.query import SearchIndex
 
     analyzer = AnalyzerConfig(stopwords=frozenset({"the", "a"}), stem=True)
-    # "v2:" = compacted-layout version, bumped when compact_index's output
-    # changes (v2 adds the segfiles.json file-range manifest) so a cached
-    # pre-upgrade index doesn't silently skip the new pruned query path
-    key = hashlib.md5(("v2:" + sf_dir).encode()).hexdigest()[:10]
+    # "v3:" = compacted-layout version, bumped when compact_index's output
+    # changes (v2 segfiles.json term-range manifest; v3 docfiles.json
+    # hydration manifest) so a cached pre-upgrade index doesn't silently
+    # skip the new pruned query/hydration paths
+    key = hashlib.md5(("v3:" + sf_dir).encode()).hexdigest()[:10]
     out = os.path.join(tempfile.gettempdir(), "vg_compact_harness", key,
                        "idx")
     done = os.path.join(os.path.dirname(out), "COMPACTED")
@@ -466,7 +467,8 @@ def q_bm25_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     from visigoth_spark.query import SearchIndex
 
     analyzer = AnalyzerConfig(stopwords=frozenset({"the", "a"}), stem=True)
-    key = hashlib.md5(("v1:" + sf_dir).encode()).hexdigest()[:10]
+    # "v2": merged layout now also writes the docfiles hydration manifest
+    key = hashlib.md5(("v2:" + sf_dir).encode()).hexdigest()[:10]
     out = os.path.join(tempfile.gettempdir(), "vg_merge_harness", key,
                        "idx")
     done = os.path.join(os.path.dirname(out), "MERGED")

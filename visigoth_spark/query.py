@@ -113,12 +113,20 @@ class SearchIndex:
         # file, so without this a 10^5-file index schedules 10^5 file
         # splits per query.
         self._segfiles = None
+        self._docfiles = None
+        import json
+
         sf_path = os.path.join(index_dir, "_manifests", "segfiles.json")
         if os.path.exists(sf_path):
-            import json
-
             with open(sf_path) as f:
                 self._segfiles = json.load(f)["files"]
+        # the docid analogue for hydration: per-docmap-file docid ranges,
+        # so _docmap_for opens ~1 file per result id instead of sweeping
+        # every docmap footer
+        df_path = os.path.join(index_dir, "_manifests", "docfiles.json")
+        if os.path.exists(df_path):
+            with open(df_path) as f:
+                self._docfiles = json.load(f)["files"]
 
     def cache(self) -> "SearchIndex":
         """Pin the postings + docmap in executor memory (the warm-index
@@ -221,16 +229,32 @@ class SearchIndex:
         try:
             import pyarrow.dataset as ds
 
-            data = ds.dataset(
-                os.path.join(self.index_dir, "data"), format="parquet",
-                partitioning="hive",
-            )
-            flt = (ds.field("kind") == "d") & ds.field("docid").isin(ids)
-            if self._batches:
-                # exclude orphan/replaced batch dirs — their docmap rows
-                # can carry the SAME docids as committed ones (a crashed
-                # append's successor reuses its range)
-                flt = flt & ds.field("batch").isin(self._batches)
+            if self._docfiles is not None:
+                # manifest fast path: open only the files whose docid range
+                # covers a requested id (the manifest lists only visible
+                # batches' files, so no batch filter is needed). A stale or
+                # non-covering manifest can only MISS rows, never return
+                # wrong ones — the completeness check below falls back.
+                paths = [
+                    os.path.join(self.index_dir, e["path"])
+                    for e in self._docfiles
+                    if e.get("docid_min") is None
+                    or any(e["docid_min"] <= i <= e["docid_max"]
+                           for i in ids)
+                ]
+                data = ds.dataset(paths, format="parquet")
+                flt = ds.field("docid").isin(ids)
+            else:
+                data = ds.dataset(
+                    os.path.join(self.index_dir, "data"),
+                    format="parquet", partitioning="hive",
+                )
+                flt = (ds.field("kind") == "d") & ds.field("docid").isin(ids)
+                if self._batches:
+                    # exclude orphan/replaced batch dirs — their docmap
+                    # rows can carry the SAME docids as committed ones (a
+                    # crashed append's successor reuses its range)
+                    flt = flt & ds.field("batch").isin(self._batches)
             tbl = data.to_table(columns=cols, filter=flt)
             raws = (tbl["raw"].to_pylist() if with_raw
                     else [None] * len(tbl))
