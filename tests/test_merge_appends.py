@@ -23,6 +23,7 @@ from visigoth_spark.build import (
     append_index,
     build_index,
     compact_index,
+    gc_index,
     load_stats,
     merge_appends,
 )
@@ -265,4 +266,63 @@ class TestVisibilityModel:
         m = merge_appends(spark, out, num_partitions=2, min_batches=2)
         assert m is not None
         assert [mm["batch"] for mm in _visible_batches(out)] == [0, 5]
+        assert _results(SearchIndex(spark, out)) == before
+
+
+class TestMergeEdgeCases:
+    def test_zero_token_appended_batch_merges(self, spark, tmp_path):
+        """An appended batch whose docs all analyze to ZERO tokens writes
+        only kind=d; the merge must carry its docmap rows, skip its absent
+        segment dir, and keep every search/hydration contract."""
+        pdf, slices = _slices(60, 2)
+        out = _appended(spark, tmp_path, "zt", slices)
+        punct = pd.DataFrame({
+            "url": [f"zz-punct-{i}" for i in range(3)],
+            "text": ["!!! ... ???", "---", "¡¿"],
+            "lang": ["es"] * 3,
+        })
+        append_index(spark, _df(spark, punct), out, num_partitions=1)
+        before = _results(SearchIndex(spark, out))
+        n_docs = load_stats(out)["n_docs"]
+        m = merge_appends(spark, out, num_partitions=2)
+        assert m is not None
+        idx = SearchIndex(spark, out)
+        assert len(idx) == n_docs == 63
+        assert _results(idx) == before
+        # zero-token docs are hydratable (docmap carried through the merge)
+        got = idx._docmap_for([60, 61, 62])
+        assert sorted(u for u, _ in got.values()) == sorted(punct["url"])
+        # and the docfiles manifest covers them
+        assert idx._docfiles is not None
+        assert any(e["docid_max"] is not None and e["docid_max"] >= 62
+                   for e in idx._docfiles)
+
+
+    def test_deferred_gc_snapshot_isolation(self, spark, tmp_path):
+        """merge_appends(gc=False) keeps the replaced batches on disk:
+        a reader constructed BEFORE the merge keeps serving its snapshot
+        (its planned paths still resolve), a reader constructed after sees
+        only the merged tier, and gc_index reclaims the leftovers."""
+        pdf, slices = _slices(90, 3)
+        out = _appended(spark, tmp_path, "gcd", slices)
+        old_reader = SearchIndex(spark, out)
+        before = _results(old_reader)
+        m = merge_appends(spark, out, num_partitions=2, gc=False)
+        assert m is not None
+        # replaced manifests + dirs retained
+        assert _batch_dirs(out) == ["batch=0", "batch=1", "batch=2",
+                                    "batch=3"]
+        assert os.path.exists(
+            os.path.join(out, "_manifests", "batch_1.json"))
+        # old reader: same snapshot, still fully functional
+        assert old_reader._batches == [0, 1, 2]
+        assert _results(old_reader) == before
+        # new reader: merged view, same results
+        fresh = SearchIndex(spark, out)
+        assert fresh._batches == [0, 3]
+        assert _results(fresh) == before
+        # reclaim
+        assert gc_index(out) == [1, 2]
+        assert _batch_dirs(out) == ["batch=0", "batch=3"]
+        assert gc_index(out) == []  # idempotent
         assert _results(SearchIndex(spark, out)) == before

@@ -773,6 +773,7 @@ def merge_appends(
     index_dir: str,
     num_partitions: int | None = None,
     min_batches: int = 2,
+    gc: bool = True,
 ) -> BuildMetrics | None:
     """Tiered (minor) compaction: collapse the appended/previously-merged
     batches into ONE term-range-partitioned batch without touching the
@@ -806,6 +807,11 @@ def merge_appends(
     tier at file-shuffle cost, and the full rewrite (url-order remap +
     re-encode) runs rarely, when the ingest-order tiebreak or bucket-count
     drift starts to matter.
+
+    ``gc=False`` defers reclamation: replaced batches stay on disk (hidden
+    from every new reader by ``replaces``) so readers that planned before
+    the merge keep a consistent snapshot; run ``gc_index`` when they're
+    gone.
 
     Returns the merged batch's metrics, or None when fewer than
     ``min_batches`` appended batches exist."""
@@ -877,14 +883,19 @@ def merge_appends(
         wall_sec=time.time() - t0,
     )
     # GC the replaced batches: manifests first (visibility already hides
-    # them), dirs after — a crash anywhere in here is harmless
-    for b in src_ids:
-        mp = os.path.join(manifest_dir, f"batch_{b}.json")
-        if os.path.exists(mp):
-            os.remove(mp)
-    for b in src_ids:
-        shutil.rmtree(os.path.join(data_root, f"batch={b}"),
-                      ignore_errors=True)
+    # them), dirs after — a crash anywhere in here is harmless. With
+    # gc=False the replaced batches stay on disk, hidden by ``replaces``:
+    # readers constructed BEFORE the merge keep a working snapshot (their
+    # planned file paths still resolve) while new readers see the merged
+    # tier; reclaim later with ``gc_index`` once old readers are gone.
+    if gc:
+        for b in src_ids:
+            mp = os.path.join(manifest_dir, f"batch_{b}.json")
+            if os.path.exists(mp):
+                os.remove(mp)
+        for b in src_ids:
+            shutil.rmtree(os.path.join(data_root, f"batch={b}"),
+                          ignore_errors=True)
     # file-range manifest over EVERY visible segment file: the merged tier
     # contributes tight disjoint ranges; base batches whatever their footer
     # stats give (wide for the build layout, tight after a full compaction)
@@ -919,6 +930,30 @@ def merge_appends(
         total_tokens=int(seg_meta["total_tokens"] or 0),
         wall_sec=time.time() - t0,
     )
+
+
+def gc_index(index_dir: str) -> list[int]:
+    """Reclaim batches hidden by a merge's ``replaces`` field — the
+    deferred half of ``merge_appends(gc=False)``. Manifests are removed
+    first (visibility already excludes them), directories after; safe to
+    crash anywhere and safe to re-run. Only call once readers that planned
+    BEFORE the merge are gone (single-writer contract, like every other
+    maintenance op here). Returns the batch ids reclaimed."""
+    ms = _batch_manifests(index_dir)
+    replaced: set[int] = set()
+    for m in ms:
+        replaced.update(m.get("replaces", []))
+    victims = sorted(replaced & {m["batch"] for m in ms})
+    manifest_dir = os.path.join(index_dir, "_manifests")
+    data_root = os.path.join(index_dir, "data")
+    for b in victims:
+        mp = os.path.join(manifest_dir, f"batch_{b}.json")
+        if os.path.exists(mp):
+            os.remove(mp)
+    for b in victims:
+        shutil.rmtree(os.path.join(data_root, f"batch={b}"),
+                      ignore_errors=True)
+    return victims
 
 
 def compact_index(
