@@ -541,11 +541,29 @@ def main() -> None:
                 queries_c[name] = dt
     bm25_lat_c = [queries_c[name] for name, _, eng in QUERY_SUITE
                   if eng == "bm25"]
+    # plan-level pruning evidence: how many segment files the manifest
+    # admits per suite query vs the total on disk (driver-side arithmetic
+    # over segfiles.json — the same check _seg_scan runs before planning)
+    from visigoth_spark.analysis import analyze_text
+
+    planned = []
+    if idx_c._segfiles:
+        for _, q, _ in QUERY_SUITE:
+            terms = analyze_text(q, idx_c.analyzer)
+            planned.append(sum(
+                1 for e in idx_c._segfiles
+                if e.get("term_min") is None
+                or any(e["term_min"] <= t <= e["term_max"] for t in terms)
+            ))
     compact_info = {
         "wall": round(compact_wall, 2),
         "docs_per_sec": round(n_docs / compact_wall, 1),
         "n_segments": cm.n_segments,
         "bytes_blob": cm.bytes_blob,
+        "seg_files_total": len(idx_c._segfiles or []),
+        "seg_files_planned_per_query": (
+            round(statistics.median(planned), 1) if planned else None
+        ),
         "queries": queries_c,
         "bm25_p50": round(statistics.median(bm25_lat_c), 4),
     }
@@ -623,6 +641,7 @@ pairs in the JSON. Details + host-noise evidence: BASELINE.md.
 | BM25 p50: appended (pre-merge) vs merged | {r['merge']['bm25_p50_appended']} s -> {r['merge']['bm25_p50_merged']} s | same index, best of 2 passes each |
 | compaction (force-merge) wall | {r['compact']['wall']} s | full rewrite: decode -> url-order remap -> re-encode, local[{b['cores_hi']}] |
 | BM25 p50 on compacted layout | {r['compact']['bm25_p50']} s | term-range segment files, best of 2 passes |
+| segment files planned per query | {r['compact']['seg_files_planned_per_query']} of {r['compact']['seg_files_total']} | segfiles.json file-range manifest, median over the suite |
 | batched (8-checkpoint) cold build wall | {r['resume']['cold_batched_wall']} s | n_batches=8, local[{b['cores_hi']}] |
 | kill+resume: resumed-build wall | {r['resume']['resume_wall']} s | SIGKILL at {r['resume']['killed_after_sec']} s ({r['resume']['batches_committed_at_kill']}/8 batches committed); resume completes only the rest |
 | resumed ≡ cold segments | {r['resume']['segments_identical_to_cold']} | content digest over every posting segment row |

@@ -113,3 +113,42 @@ class TestStreaming:
         n1 = load_stats(out)["n_docs"]
         fn(_df(spark, part1), epoch_id=0)  # replay same epoch
         assert load_stats(out)["n_docs"] == n1 == 160
+
+
+class TestStreamAutoMerge:
+    def test_merge_every_bounds_batch_count(self, spark, tmp_path):
+        """foreach_batch_indexer(merge_every=2): after every 2nd committed
+        epoch the stream (the single writer) folds its appended tiers, so
+        a long-running ingest keeps a bounded batch count with results
+        identical to the unmerged ingest."""
+        from visigoth_spark.build import _visible_batches
+        from visigoth_spark.streaming import foreach_batch_indexer
+
+        pdf = generate_corpus(200).sort_values("url").reset_index(drop=True)
+        out = str(tmp_path / "am")
+        fn = foreach_batch_indexer(out, num_partitions=2, merge_every=2)
+        for epoch in range(4):
+            fn(_df(spark, pdf.iloc[epoch * 50:(epoch + 1) * 50]), epoch)
+
+        # epoch 0 = fresh build (batch 0); epoch 1 append -> merge at
+        # committed=2 folds it; epochs 2-3 append -> merge at committed=4
+        # folds tier+appends: base + ONE tier remain
+        vis = [m["batch"] for m in _visible_batches(out)]
+        assert len(vis) == 2 and vis[0] == 0
+        assert load_stats(out)["n_docs"] == 200
+
+        oracle = OracleIndex()
+        for r in pdf.itertuples():
+            oracle.put(r.url, r.text)
+        idx = SearchIndex(spark, out)
+        got = [(r["url"], r["score"]) for r in
+               idx.search("curso java", "bm25", 10).collect()]
+        exp = oracle.bm25_search("curso java", k=10)
+        assert [u for u, _ in got] == [u for u, _ in exp]
+        for (_, s1), (_, s2) in zip(got, exp):
+            assert s1 == pytest.approx(s2, abs=1e-12)
+
+        # replay of a committed epoch is still a no-op after merges
+        fn(_df(spark, pdf.iloc[0:50]), 1)
+        assert load_stats(out)["n_docs"] == 200
+        assert [m["batch"] for m in _visible_batches(out)] == vis

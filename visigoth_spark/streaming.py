@@ -38,13 +38,21 @@ from visigoth_spark.build import append_index
 
 def foreach_batch_indexer(out_dir: str,
                           analyzer: AnalyzerConfig = DEFAULT_ANALYZER,
-                          num_partitions: int | None = None):
+                          num_partitions: int | None = None,
+                          merge_every: int | None = None):
     """Returns a foreachBatch(fn) that appends each micro-batch to the index.
 
     Epoch idempotence (see module docstring): the stream manifest pins each
     epoch's (batch, base_docid, bucket_base) allocation BEFORE ingesting, so
     a replayed epoch redoes the identical overwrite instead of appending a
     duplicate. Committed epochs are skipped.
+
+    ``merge_every=k`` runs ``merge_appends`` (tiered minor compaction)
+    after every k-th committed epoch, bounding the L0 batch count a
+    long-running stream accumulates. Safe here because the stream IS the
+    single writer, and a crash mid-merge only delays the merge (the epoch
+    itself is already committed; a skipped boundary is retried at the
+    next one).
     """
     manifest = os.path.join(out_dir, "_manifests", "stream_epochs.json")
 
@@ -110,6 +118,14 @@ def foreach_batch_indexer(out_dir: str,
         rec["n_docs"] = m.n_docs
         state[str(epoch_id)] = rec
         _save(state)
+        if merge_every and not rec.get("fresh"):
+            committed = sum(1 for r in state.values()
+                            if r.get("state") == "committed")
+            if committed % merge_every == 0:
+                from visigoth_spark.build import merge_appends
+
+                merge_appends(batch_df.sparkSession, out_dir,
+                              num_partitions=num_partitions)
 
     return fn
 
@@ -215,6 +231,7 @@ def stream_index(
     analyzer: AnalyzerConfig = DEFAULT_ANALYZER,
     num_partitions: int | None = None,
     available_now: bool = True,
+    merge_every: int | None = None,
 ):
     """Index a growing parquet directory incrementally. With
     ``available_now`` the stream drains everything currently present and
@@ -226,7 +243,8 @@ def stream_index(
     writer = (
         stream.writeStream
         .foreachBatch(foreach_batch_indexer(out_dir, analyzer,
-                                            num_partitions))
+                                            num_partitions,
+                                            merge_every=merge_every))
         .option("checkpointLocation", checkpoint_dir)
     )
     if available_now:
