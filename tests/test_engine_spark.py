@@ -274,6 +274,38 @@ class TestHeadTermSkew:
 
 
 class TestResume:
+    def test_empty_batch_slice_is_readable(self, spark, tmp_path, oracle):
+        # n_batches > num_partitions -> some slices get zero partitions.
+        # Those batches commit a manifest but never write a batch dir;
+        # readers must plan around them (regression: SearchIndex used to
+        # schedule the nonexistent batch=N path and raise).
+        corpus_pd = generate_corpus(120)
+        corpus = spark.createDataFrame(corpus_pd[["url", "text", "lang"]])
+        out = str(tmp_path / "idx")
+        build_index(spark, corpus, out, num_partitions=2, n_buckets=2,
+                    n_batches=5)
+        man_dir = os.path.join(out, "_manifests")
+        empties = []
+        for f in sorted(os.listdir(man_dir)):
+            if f.startswith("batch_"):
+                with open(os.path.join(man_dir, f)) as fh:
+                    m = json.load(fh)
+                if m["n_docs"] == 0:
+                    empties.append(m["batch"])
+                    assert not os.path.isdir(
+                        os.path.join(out, "data", f"batch={m['batch']}")
+                    )
+        assert empties, "fixture must produce at least one empty slice"
+        idx = SearchIndex(spark, out)
+        assert len(idx) == 120
+        got = [(r["url"], r["score"])
+               for r in idx.search("programación java", "bm25", 10).collect()]
+        sub = OracleIndex()
+        for r in corpus_pd.sort_values("url").itertuples():
+            sub.put(r.url, r.text)
+        exp = sub.bm25_search("programación java", k=10)
+        assert [u for u, _ in got] == [u for u, _ in exp]
+
     def test_resume_skips_completed_batches(self, spark, tmp_path):
         corpus_pd = generate_corpus(120)
         corpus = spark.createDataFrame(corpus_pd[["url", "text", "lang"]])

@@ -560,7 +560,12 @@ def _visible_batches(out_dir: str) -> list[dict]:
     replaced: set[int] = set()
     for m in ms:
         replaced.update(m.get("replaces", []))
-    return [m for m in ms if m["batch"] not in replaced]
+    # an empty batch (n_docs == 0, e.g. an n_batches slice that got no
+    # partitions) commits a manifest but never writes a batch dir — it owns
+    # no rows, so readers and stats must not try to plan its (nonexistent)
+    # path. Only an explicit 0 excludes; absent n_docs keeps the batch.
+    return [m for m in ms
+            if m["batch"] not in replaced and m.get("n_docs", 1) != 0]
 
 
 def append_index(
