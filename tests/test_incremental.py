@@ -103,6 +103,29 @@ class TestStreaming:
         # ranking identical iff scores unique; scores are global-stat exact
         assert got == exp
 
+    def test_empty_first_epoch_is_a_noop(self, spark, tmp_path,
+                                         split_corpus):
+        """An empty FIRST micro-batch (trigger fires before the source has
+        any data) must not kill the stream: build_index raises on an empty
+        corpus, so the indexer commits the epoch as a no-op and the next
+        epoch takes the fresh-build path itself."""
+        import json
+
+        from visigoth_spark.streaming import foreach_batch_indexer
+
+        part1, _ = split_corpus
+        out = str(tmp_path / "eidx")
+        fn = foreach_batch_indexer(out, num_partitions=2)
+        fn(_df(spark, part1).limit(0), epoch_id=0)  # empty first epoch
+        assert not os.path.exists(os.path.join(out, "stats.json"))
+        with open(os.path.join(out, "_manifests",
+                               "stream_epochs.json")) as f:
+            eps = json.load(f)
+        assert eps["0"]["state"] == "committed" and eps["0"]["n_docs"] == 0
+        fn(_df(spark, part1).limit(0), epoch_id=0)  # replay: skipped
+        fn(_df(spark, part1), epoch_id=1)  # first real data: fresh build
+        assert load_stats(out)["n_docs"] == 160
+
     def test_epoch_replay_is_idempotent(self, spark, tmp_path, split_corpus):
         from visigoth_spark.streaming import foreach_batch_indexer
 

@@ -104,6 +104,17 @@ def foreach_batch_indexer(out_dir: str,
         if rec.get("fresh"):
             from visigoth_spark.build import build_index
 
+            if batch_df.isEmpty():
+                # an empty FIRST epoch (e.g. a trigger firing before any
+                # source files exist) must not reach build_index, which
+                # raises on an empty corpus and would kill the stream.
+                # Commit the epoch as a no-op; the next epoch still finds
+                # no stats.json and takes the fresh-build path itself.
+                rec["state"] = "committed"
+                rec["n_docs"] = 0
+                state[str(epoch_id)] = rec
+                _save(state)
+                return
             m = build_index(batch_df.sparkSession, batch_df, out_dir,
                             analyzer=analyzer,
                             num_partitions=num_partitions)
