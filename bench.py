@@ -458,6 +458,20 @@ def main() -> None:
     suite_wall = (time.time() - t_suite) / 2
     bm25_lat = [queries[name] for name, _, eng in QUERY_SUITE
                 if eng == "bm25"]
+    # the same suite with the cost-based driver-local route disabled: the
+    # distributed path every query takes above the routing bounds (and the
+    # round-1-comparable number)
+    queries_dist: dict[str, float] = {}
+    idx.search("programación", "bm25", 10, route="spark").collect()
+    for _pass in range(2):
+        for name, q, engine in QUERY_SUITE:
+            t0 = time.time()
+            idx.search(q, engine, 10, route="spark").collect()
+            dt = round(time.time() - t0, 4)
+            if name not in queries_dist or dt < queries_dist[name]:
+                queries_dist[name] = dt
+    bm25_p50_dist = statistics.median(
+        [queries_dist[n] for n, _, e in QUERY_SUITE if e == "bm25"])
     # batched mode: the same queries in ONE Spark job (search_many) — the
     # serving-throughput path; best of 2 for the same reason
     batch_qs = [q for _, q, _ in QUERY_SUITE]
@@ -605,6 +619,8 @@ def main() -> None:
             ],
         },
         "bm25_latency": {"p50": round(p50, 4), "p95": round(p95, 4)},
+        "bm25_latency_distributed": {"p50": round(bm25_p50_dist, 4),
+                                     "queries": queries_dist},
         "batch": {"queries": len(batch_qs), "wall": round(batch_wall, 3),
                   "qps": round(batch_qps, 1)},
         "merge": merge_info,
@@ -631,8 +647,9 @@ pairs in the JSON. Details + host-noise evidence: BASELINE.md.
 | build throughput (docs/sec), 4N={b['cores_hi']} cores | {b['docs_per_sec_hi']} | local[{b['cores_hi']}], same pair |
 | scaling efficiency N->4N | {b['scaling_efficiency']} | target >= 0.8 (north_rule); best matched pair, wall clock |
 | CPU-work invariance (cpu/build at N / at 4N) | {b['cpu_work_invariance']} | tree-CPU from /proc — immune to hypervisor steal; 1.0 = 4N adds zero software overhead |
-| BM25 top-10 latency p50 | {r['bm25_latency']['p50']} s | warm index, local[{b['cores_hi']}], best of 2 passes |
+| BM25 top-10 latency p50 | {r['bm25_latency']['p50']} s | warm index, local[{b['cores_hi']}], best of 2 passes; cost-based routing (small queries driver-local, head queries distributed) |
 | BM25 top-10 latency p95 | {r['bm25_latency']['p95']} s | warm index, local[{b['cores_hi']}], best of 2 passes |
+| BM25 p50, forced distributed route | {r['bm25_latency_distributed']['p50']} s | route="spark" — every query pays the job; round-1-comparable |
 | query suite wall ({len(r['queries'])} queries) | {r['value']} s | bm25/hits/linear mix, one job per query, mean of 2 passes |
 | batched query throughput | {r['batch']['qps']} q/s | search_many: {r['batch']['queries']} queries in ONE job ({r['batch']['wall']} s), best of 2 |
 | posting blob bytes/posting | {r['index']['bytes_per_posting']} | delta+varbyte incl. tf+doclen streams |

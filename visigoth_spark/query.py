@@ -65,13 +65,18 @@ class SearchIndex:
     search_search.go:15-19: Len / Indexed / Document)."""
 
     def __init__(self, spark: SparkSession, index_dir: str,
-                 analyzer: AnalyzerConfig = DEFAULT_ANALYZER):
+                 analyzer: AnalyzerConfig = DEFAULT_ANALYZER,
+                 driver_local_max_bytes: int = 64 << 20,
+                 driver_local_max_postings: int = 800_000):
         import visigoth_spark
 
         visigoth_spark.ensure_shipped(spark)
         self.spark = spark
         self.index_dir = index_dir
         self.analyzer = analyzer
+        self.driver_local_max_bytes = driver_local_max_bytes
+        self.driver_local_max_postings = driver_local_max_postings
+        self._cached = False
         self.stats = load_stats(index_dir)
         data_root = f"{index_dir}/data"
         # plan from the batch MANIFESTS, not a directory listing: an orphan
@@ -137,8 +142,11 @@ class SearchIndex:
         self._postings.count()
         self._docmap.count()
         # the pinned in-memory postings beat a per-query file enumeration —
-        # route queries through the cached DataFrame instead
+        # route queries through the cached DataFrame instead (this also
+        # turns off the auto driver-local route: the executor-cached scan
+        # is the serving layer the caller asked for)
         self._segfiles = None
+        self._cached = True
         return self
 
     _SEG_COLS = ["term", "bucket", "min_docid", "blob", "skips"]
@@ -180,6 +188,86 @@ class SearchIndex:
             self._postings.filter(F.col("term").isin(terms))
             .select(*cols)
         )
+
+    def _route_driver(self, dfs: dict[str, int], route: str) -> bool:
+        """Cost-based query routing. A top-k point query over a small
+        pruned posting set should not pay a distributed job's scheduling
+        latency (~0.5-1 s in local mode, comparable on a busy cluster):
+        below the thresholds the SAME kernels run driver-side on a pyarrow
+        read of the same pruned files (Lucene serves every query this way;
+        Spark jobs are for builds and analytics).
+
+        Two bounds, both from the termdict probe already in hand:
+        - sum(df) <= driver_local_max_postings — kernel compute is
+          single-threaded on the driver and measured ~1-6 M postings/s
+          depending on query shape, so the postings bound caps driver
+          kernel time at roughly the job-scheduling overhead it replaces
+          (break-even ~0.7 s x ~1.2 M/s worst shape ~ 800k).
+        - sum(df) x bytes/posting x 2 <= driver_local_max_bytes — caps
+          driver memory for the decoded segment rows.
+        Term frequency is zipfian, so in a real workload almost every
+        query is under both bounds; at 10^12 docs a head term's df alone
+        pushes past them and those queries stay distributed — exactly the
+        right split at scale."""
+        if route == "spark" or self._cached:
+            return False
+        if route == "driver":
+            return True
+        if route != "auto":
+            raise ValueError(f"unknown route {route!r}")
+        total_df = sum(dfs.values())
+        if total_df > self.driver_local_max_postings:
+            return False
+        n_post = self.stats.get("n_postings") or 0
+        bpp = (self.stats.get("bytes_blob", 0) / n_post) if n_post else 8.0
+        return total_df * bpp * 2.0 <= self.driver_local_max_bytes
+
+    def _driver_seg_rows(self, terms: list[str]) -> pd.DataFrame | None:
+        """Driver-side pyarrow read of the pruned segment rows — the same
+        file pruning decisions as _seg_scan (segfiles manifest when present,
+        else the visible batches' kind=s dirs), the same term filter pushed
+        to row-group stats. Returns None when the read can't run driver-side
+        (non-local storage, no manifests) — the caller falls back to the
+        distributed scan. An empty frame means provably no matching rows."""
+        try:
+            import pyarrow.dataset as ds
+
+            if self._segfiles is not None:
+                paths = [
+                    os.path.join(self.index_dir, e["path"])
+                    for e in self._segfiles
+                    if e.get("term_min") is None
+                    or any(e["term_min"] <= t <= e["term_max"]
+                           for t in terms)
+                ]
+                if not paths:
+                    return pd.DataFrame(columns=self._SEG_COLS)
+                data = ds.dataset(paths, format="parquet")
+            else:
+                if not self._batches:
+                    return None
+                # ds.dataset() takes a single dir OR a list of FILES —
+                # expand each visible batch's kind=s dir to its parquet
+                # files (a batch whose docs all analyzed to zero tokens
+                # has no kind=s dir; skip it)
+                paths = []
+                for b in self._batches:
+                    d = os.path.join(self.index_dir, "data",
+                                     f"batch={b}", "kind=s")
+                    if os.path.isdir(d):
+                        paths.extend(
+                            os.path.join(d, fn)
+                            for fn in sorted(os.listdir(d))
+                            if fn.endswith(".parquet")
+                        )
+                if not paths:
+                    return pd.DataFrame(columns=self._SEG_COLS)
+                data = ds.dataset(paths, format="parquet")
+            tbl = data.to_table(columns=self._SEG_COLS,
+                                filter=ds.field("term").isin(terms))
+            return tbl.to_pandas()
+        except Exception:
+            return None
 
     # ---- Indexer primitives (B3-B5) ---------------------------------------
     def __len__(self) -> int:
@@ -293,7 +381,7 @@ class SearchIndex:
 
     # ---- engines ------------------------------------------------------------
     def search(self, query: str, engine: str = "bm25", k: int | None = 10,
-               include_raw: bool = False) -> DataFrame:
+               include_raw: bool = False, route: str = "auto") -> DataFrame:
         """Returns a DataFrame (url, docid, score, hits[, raw]) ordered by
         the engine's contract. Engines: bm25 (= block-max WAND) | bm25_wand
         (alias) | bm25_exhaustive (full-decode test oracle) | bm25_or |
@@ -302,7 +390,13 @@ class SearchIndex:
         ``include_raw`` hydrates the stored document content into a ``raw``
         column (≙ Doc.Raw, search_result.go:6-9 / the "raw" field of
         search_result_easyjson.go:127-142); requires an index built with
-        ``store_raw=True`` (raises otherwise)."""
+        ``store_raw=True`` (raises otherwise).
+
+        ``route``: "auto" (default) serves small top-k queries driver-side
+        — same pruned files, same kernels, no Spark job — and big ones
+        distributed (_route_driver documents the cost model); "driver" /
+        "spark" force a path. Results are identical on either route.
+        Unbounded results (k=None) always run distributed."""
         if engine not in ENGINES:
             raise ValueError(
                 f"unknown engine {engine!r}; expected one of {sorted(ENGINES)}"
@@ -342,64 +436,80 @@ class SearchIndex:
             for t in terms
         }
 
-        seg = self._seg_scan(terms)
-        if seg is None:  # no segment file can contain any query term
-            return self._empty_result(include_raw)
         kernel = _make_kernel(engine, terms, multiplicity, idf, avgdl,
                               threshold=len(tokens), k=k, dfs=dfs)
-        local = seg.groupBy("bucket").applyInPandas(kernel, RESULT_KERNEL_SCHEMA)
-
-        if engine == "hits":
-            ordered = local.orderBy(F.desc("hits"), F.asc("docid"))
-        elif engine == "linear":
-            ordered = local.orderBy(F.asc("docid"))
-        else:
-            ordered = local.orderBy(F.desc("score"), F.asc("docid"))
-        if k is not None:
+        top = None
+        if k is not None and self._route_driver(dfs, route):
+            pdf = self._driver_seg_rows(terms)
+            if pdf is not None:  # None -> fall back to the distributed scan
+                top = _driver_topk(pdf, kernel, engine, k)
+        if top is None:
+            seg = self._seg_scan(terms)
+            if seg is None:  # no segment file can contain any query term
+                return self._empty_result(include_raw)
+            local = seg.groupBy("bucket").applyInPandas(
+                kernel, RESULT_KERNEL_SCHEMA)
+            if engine == "hits":
+                ordered = local.orderBy(F.desc("hits"), F.asc("docid"))
+            elif engine == "linear":
+                ordered = local.orderBy(F.asc("docid"))
+            else:
+                ordered = local.orderBy(F.desc("score"), F.asc("docid"))
+            if k is None:
+                # unbounded result: stay fully distributed — broadcast the
+                # ranked ids into the docmap join
+                out_cols = ["url", "docid", "score", "hits"] + (
+                    ["raw"] if include_raw else []
+                )
+                return (
+                    self._docmap.join(F.broadcast(ordered), "docid")
+                    .select(*out_cols)
+                    .orderBy(*_order_cols(engine))
+                )
             # top-k path: collect the (tiny) ranked ids, then hydrate with a
             # docid-pruned docmap scan — docmap files are docid-sorted with
             # small row groups, so the isin filter prunes at row-group level
             # (two short jobs instead of one join over the whole docmap)
             top = ordered.limit(k).collect()
-            if not top:
-                return self._empty_result(include_raw)
-            ids = [int(r["docid"]) for r in top]
-            doc_of = self._docmap_for(ids, with_raw=include_raw)
-            # Ordering contract: (score DESC, docid ASC) ≡ the reference's
-            # (score DESC, Document.ID ASC) — reference IDs are
-            # insertion-ordered (index_memory_index.go:44-60), and so are
-            # ours (dense in url order for a pure batch build; ingest order
-            # across appended batches — the same as the reference's).
-            # docid ≡ url order additionally holds for pure batch builds.
-            rows = [
-                (doc_of[r["docid"]][0], r["docid"], float(r["score"]),
-                 int(r["hits"])) + ((doc_of[r["docid"]][1],)
-                                    if include_raw else ())
-                for r in top
-            ]
-            schema = "url string, docid long, score double, hits int"
-            if include_raw:
-                schema += ", raw string"
-            return self.spark.createDataFrame(rows, schema)
-        # unbounded result (k=None): stay fully distributed — broadcast the
-        # ranked ids into the docmap join
-        out_cols = ["url", "docid", "score", "hits"] + (
-            ["raw"] if include_raw else []
-        )
-        return (
-            self._docmap.join(F.broadcast(ordered), "docid")
-            .select(*out_cols)
-            .orderBy(*_order_cols(engine))
-        )
+        if not top:
+            return self._empty_result(include_raw)
+        ids = [int(r["docid"]) for r in top]
+        doc_of = self._docmap_for(ids, with_raw=include_raw)
+        # Ordering contract: (score DESC, docid ASC) ≡ the reference's
+        # (score DESC, Document.ID ASC) — reference IDs are
+        # insertion-ordered (index_memory_index.go:44-60), and so are
+        # ours (dense in url order for a pure batch build; ingest order
+        # across appended batches — the same as the reference's).
+        # docid ≡ url order additionally holds for pure batch builds.
+        # result as a pandas-backed (Arrow) local relation: collect() on it
+        # is jobless, so a driver-routed query runs ZERO Spark jobs end to
+        # end (the distributed route reuses this block after its collect)
+        out_pd = pd.DataFrame({
+            "url": [doc_of[r["docid"]][0] for r in top],
+            "docid": np.array([r["docid"] for r in top], dtype=np.int64),
+            "score": np.array([r["score"] for r in top], dtype=np.float64),
+            "hits": np.array([r["hits"] for r in top], dtype=np.int32),
+        })
+        schema = "url string, docid long, score double, hits int"
+        if include_raw:
+            out_pd["raw"] = [doc_of[r["docid"]][1] for r in top]
+            schema += ", raw string"
+        return self.spark.createDataFrame(out_pd, schema)
 
     def search_many(self, queries: list[str], engine: str = "bm25",
-                    k: int = 10, include_raw: bool = False) -> DataFrame:
-        """Batched top-k: run MANY queries in ONE Spark job. The postings
-        scan covers the union of all queries' terms; the per-bucket kernel
-        evaluates every query against the bucket; the driver merges each
-        query's global top-k and hydrates all urls with a single docmap
-        point lookup. Amortizes the per-job scheduling cost that dominates
-        single-query latency — the serving-throughput path.
+                    k: int = 10, include_raw: bool = False,
+                    route: str = "auto") -> DataFrame:
+        """Batched top-k: run MANY queries in ONE Spark job (or ZERO — see
+        ``route``). The postings scan covers the union of all queries'
+        terms; the per-bucket kernel evaluates every query against the
+        bucket; the driver merges each query's global top-k and hydrates
+        all urls with a single docmap point lookup. Amortizes the per-job
+        scheduling cost that dominates single-query latency — the
+        serving-throughput path.
+
+        ``route`` as in :meth:`search`: "auto" runs the whole batch
+        driver-side when the union of all live terms' postings fits the
+        byte threshold (no Spark job at all), distributed otherwise.
 
         Returns (qid, url, docid, score, hits[, raw]), each qid's rows in
         the engine's order. qid = position in ``queries``."""
@@ -463,12 +573,29 @@ class SearchIndex:
                 })
             return pd.concat(outs, ignore_index=True)
 
-        seg = self._seg_scan(live_terms)
-        if seg is None:  # no segment file can contain any live term
-            return self._empty_batch_result(include_raw)
-        local = seg.groupBy("bucket").applyInPandas(
-            multi_kernel, "qid int, " + RESULT_KERNEL_SCHEMA
-        ).collect()
+        local = None
+        if self._route_driver({t: dfs[t] for t in live_terms}, route):
+            pdf = self._driver_seg_rows(live_terms)
+            if pdf is not None:  # None -> fall back to the distributed job
+                parts = []
+                if len(pdf):
+                    for _, g in pdf.groupby("bucket", sort=True):
+                        out = multi_kernel(g)
+                        if len(out):
+                            parts.append(out)
+                local = ([] if not parts else [
+                    {"qid": int(r.qid), "docid": int(r.docid),
+                     "score": float(r.score), "hits": int(r.hits)}
+                    for r in pd.concat(parts, ignore_index=True)
+                    .itertuples()
+                ])
+        if local is None:
+            seg = self._seg_scan(live_terms)
+            if seg is None:  # no segment file can contain any live term
+                return self._empty_batch_result(include_raw)
+            local = seg.groupBy("bucket").applyInPandas(
+                multi_kernel, "qid int, " + RESULT_KERNEL_SCHEMA
+            ).collect()
 
         # driver-side merge: per qid, global engine-order top-k
         by_qid: dict[int, list] = {}
@@ -494,14 +621,20 @@ class SearchIndex:
             return self._empty_batch_result(include_raw)
         doc_of = self._docmap_for(sorted(ids), with_raw=include_raw)
         schema = "qid int, url string, docid long, score double, hits int"
+        out_pd = pd.DataFrame({
+            "qid": np.array([q for q, *_ in results], dtype=np.int32),
+            "url": [doc_of[d][0] for _, d, _, _ in results],
+            "docid": np.array([d for _, d, _, _ in results],
+                              dtype=np.int64),
+            "score": np.array([s for _, _, s, _ in results],
+                              dtype=np.float64),
+            "hits": np.array([h for _, _, _, h in results],
+                             dtype=np.int32),
+        })
         if include_raw:
+            out_pd["raw"] = [doc_of[d][1] for _, d, _, _ in results]
             schema += ", raw string"
-        return self.spark.createDataFrame(
-            [(qid, doc_of[d][0], d, s, h)
-             + ((doc_of[d][1],) if include_raw else ())
-             for (qid, d, s, h) in results],
-            schema,
-        )
+        return self.spark.createDataFrame(out_pd, schema)
 
     def _empty_batch_result(self, include_raw: bool = False) -> DataFrame:
         schema = "qid int, url string, docid long, score double, hits int"
@@ -514,6 +647,36 @@ class SearchIndex:
         if include_raw:
             schema += ", raw string"
         return self.spark.createDataFrame([], schema)
+
+
+def _driver_topk(pdf: pd.DataFrame, kernel, engine: str, k: int) -> list:
+    """Run the per-bucket kernel driver-side and merge the engine-order
+    global top-k — the identical code path to groupBy(bucket)
+    .applyInPandas + orderBy().limit(k), minus the Spark job. Returns
+    rows shaped like the collected distributed result (dict access by
+    column name)."""
+    parts = []
+    if len(pdf):
+        for _, g in pdf.groupby("bucket", sort=True):
+            out = kernel(g)
+            if len(out):
+                parts.append(out)
+    if not parts:
+        return []
+    allr = pd.concat(parts, ignore_index=True)
+    if engine == "hits":
+        allr = allr.sort_values(["hits", "docid"],
+                                ascending=[False, True])
+    elif engine == "linear":
+        allr = allr.sort_values("docid")
+    else:
+        allr = allr.sort_values(["score", "docid"],
+                                ascending=[False, True])
+    return [
+        {"docid": int(r.docid), "score": float(r.score),
+         "hits": int(r.hits)}
+        for r in allr.head(k).itertuples()
+    ]
 
 
 def _order_cols(engine: str):
