@@ -742,6 +742,22 @@ def _decode_term_blocks_for(
         if len(blk_idx) == 0:
             continue
         blob_b = bytes(blob)
+        if len(blk_idx) * 2 >= len(skips):
+            # dense candidates (head query driven by a not-so-rare term):
+            # per-block random access pays python overhead per block, so
+            # once half the blocks are needed ONE wholesale vectorized
+            # decode is cheaper — skip only when skipping pays. The extra
+            # postings are harmless: the caller probes candidates by
+            # searchsorted, and the block-max arrays stay per-posting.
+            d, t, l = decode_segment(blob_b)
+            ids_p.append(d)
+            tfs_p.append(t)
+            dls_p.append(l)
+            bmx_p.append(np.repeat(skips["max_tf"].astype(np.int64),
+                                   skips["n"]))
+            bmn_p.append(np.repeat(skips["min_dl"].astype(np.int64),
+                                   skips["n"]))
+            continue
         for bi in blk_idx:
             d, t, l = decode_block(blob_b, skips, int(bi))
             ids_p.append(d)
