@@ -151,3 +151,29 @@ def test_include_raw_rides_the_driver_route(spark, tmp_path):
     assert rows
     for r in rows:
         assert r["raw"] == by_url[r["url"]]
+
+
+def test_hot_term_cache_warm_results_identical(spark, layouts):
+    idx = SearchIndex(spark, layouts["compacted"])
+    cold = _rows(idx.search("programación java", "bm25", 10,
+                            route="driver"))
+    assert idx._term_cache, "driver route must populate the term cache"
+    warm = _rows(idx.search("programación java", "bm25", 10,
+                            route="driver"))
+    assert warm == cold
+
+
+def test_hot_term_cache_respects_byte_budget(spark, layouts):
+    idx = SearchIndex(spark, layouts["compacted"],
+                      driver_cache_max_bytes=1)  # nothing fits
+    r = _rows(idx.search("programación java", "bm25", 10, route="driver"))
+    assert r and not idx._term_cache and idx._term_cache_bytes == 0
+    # eviction keeps the accounting consistent under a small budget
+    idx2 = SearchIndex(spark, layouts["compacted"],
+                       driver_cache_max_bytes=64 << 10)
+    for q in ("programación java", "curso completo", "huevos", "python"):
+        idx2.search(q, "bm25", 10, route="driver").collect()
+        assert idx2._term_cache_bytes <= 64 << 10
+    assert idx2._term_cache_bytes == sum(
+        sum(a.nbytes for a in v) for v in idx2._term_cache.values()
+    )

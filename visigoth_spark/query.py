@@ -67,7 +67,8 @@ class SearchIndex:
     def __init__(self, spark: SparkSession, index_dir: str,
                  analyzer: AnalyzerConfig = DEFAULT_ANALYZER,
                  driver_local_max_bytes: int = 64 << 20,
-                 driver_local_max_postings: int = 800_000):
+                 driver_local_max_postings: int = 800_000,
+                 driver_cache_max_bytes: int = 256 << 20):
         import visigoth_spark
 
         visigoth_spark.ensure_shipped(spark)
@@ -76,6 +77,17 @@ class SearchIndex:
         self.analyzer = analyzer
         self.driver_local_max_bytes = driver_local_max_bytes
         self.driver_local_max_postings = driver_local_max_postings
+        self.driver_cache_max_bytes = driver_cache_max_bytes
+        # hot-term cache for the driver-local route: decoded (ids, tfs,
+        # dls) per term, LRU-bounded by decoded bytes. Snapshot-consistent
+        # by construction — a SearchIndex instance plans from the batch
+        # manifests read at __init__, so cache entries can never mix index
+        # generations. ~24 B/posting decoded; the default budget holds
+        # ~10M postings, i.e. every term the routing bound would serve
+        # driver-side anyway.
+        from collections import OrderedDict
+        self._term_cache: "OrderedDict[str, tuple]" = OrderedDict()
+        self._term_cache_bytes = 0
         self._cached = False
         self.stats = load_stats(index_dir)
         data_root = f"{index_dir}/data"
@@ -269,6 +281,28 @@ class SearchIndex:
         except Exception:
             return None
 
+    def _decoded_term(self, term: str):
+        """(ids, tfs, dls) for one term, decoded driver-side, through the
+        LRU hot-term cache. None when the driver-side read isn't possible
+        (caller falls back to the distributed route)."""
+        hit = self._term_cache.get(term)
+        if hit is not None:
+            self._term_cache.move_to_end(term)
+            return hit
+        pdf = self._driver_seg_rows([term])
+        if pdf is None:
+            return None
+        decoded = _decode_term_segments(pdf, term)
+        if self.driver_cache_max_bytes > 0:
+            cost = sum(a.nbytes for a in decoded)
+            if cost <= self.driver_cache_max_bytes:
+                self._term_cache[term] = decoded
+                self._term_cache_bytes += cost
+                while self._term_cache_bytes > self.driver_cache_max_bytes:
+                    _, old = self._term_cache.popitem(last=False)
+                    self._term_cache_bytes -= sum(a.nbytes for a in old)
+        return decoded
+
     # ---- Indexer primitives (B3-B5) ---------------------------------------
     def __len__(self) -> int:
         return self.stats["n_docs"]
@@ -440,9 +474,24 @@ class SearchIndex:
                               threshold=len(tokens), k=k, dfs=dfs)
         top = None
         if k is not None and self._route_driver(dfs, route):
-            pdf = self._driver_seg_rows(terms)
-            if pdf is not None:  # None -> fall back to the distributed scan
-                top = _driver_topk(pdf, kernel, engine, k)
+            decoded = {}
+            for t in terms:
+                d = self._decoded_term(t)
+                if d is None:  # can't read driver-side -> distributed
+                    decoded = None
+                    break
+                decoded[t] = d
+            if decoded is not None:
+                # with whole-term decoded arrays in hand, exhaustive exact
+                # scoring IS the fastest plan (WAND's partial decode saves
+                # nothing once everything is decoded); scores bit-identical
+                # (TestWandParity pins WAND ≡ exhaustive)
+                body_engine = ("bm25_exhaustive" if engine in
+                               ("bm25", "bm25_wand") else engine)
+                out = _decoded_body(decoded, body_engine, terms,
+                                    multiplicity, idf, avgdl,
+                                    threshold=len(tokens), k=k)
+                top = _order_and_head(out, engine, k)
         if top is None:
             seg = self._seg_scan(terms)
             if seg is None:  # no segment file can contain any query term
@@ -546,6 +595,8 @@ class SearchIndex:
                 for t in terms
             }
             mult = {t: p["tokens"].count(t) for t in terms}
+            plans[qid]["idf"] = idf
+            plans[qid]["mult"] = mult
             kernels.append((qid, _make_kernel(
                 engine, terms, mult, idf, avgdl,
                 threshold=len(p["tokens"]), k=k, dfs=dfs,
@@ -575,20 +626,31 @@ class SearchIndex:
 
         local = None
         if self._route_driver({t: dfs[t] for t in live_terms}, route):
-            pdf = self._driver_seg_rows(live_terms)
-            if pdf is not None:  # None -> fall back to the distributed job
-                parts = []
-                if len(pdf):
-                    for _, g in pdf.groupby("bucket", sort=True):
-                        out = multi_kernel(g)
-                        if len(out):
-                            parts.append(out)
-                local = ([] if not parts else [
-                    {"qid": int(r.qid), "docid": int(r.docid),
-                     "score": float(r.score), "hits": int(r.hits)}
-                    for r in pd.concat(parts, ignore_index=True)
-                    .itertuples()
-                ])
+            decoded = {}
+            for t in live_terms:
+                d = self._decoded_term(t)
+                if d is None:  # can't read driver-side -> distributed
+                    decoded = None
+                    break
+                decoded[t] = d
+            if decoded is not None:
+                body_engine = ("bm25_exhaustive" if engine in
+                               ("bm25", "bm25_wand") else engine)
+                rows_out = []
+                for qid, _ in kernels:
+                    p = plans[qid]
+                    out = _decoded_body(
+                        {t: decoded[t] for t in p["terms"]}, body_engine,
+                        p["terms"], p["mult"], p["idf"], avgdl,
+                        threshold=len(p["tokens"]), k=k,
+                    )
+                    if len(out):
+                        rows_out.extend(
+                            {"qid": qid, "docid": int(r.docid),
+                             "score": float(r.score), "hits": int(r.hits)}
+                            for r in out.itertuples()
+                        )
+                local = rows_out
         if local is None:
             seg = self._seg_scan(live_terms)
             if seg is None:  # no segment file can contain any live term
@@ -649,21 +711,12 @@ class SearchIndex:
         return self.spark.createDataFrame([], schema)
 
 
-def _driver_topk(pdf: pd.DataFrame, kernel, engine: str, k: int) -> list:
-    """Run the per-bucket kernel driver-side and merge the engine-order
-    global top-k — the identical code path to groupBy(bucket)
-    .applyInPandas + orderBy().limit(k), minus the Spark job. Returns
-    rows shaped like the collected distributed result (dict access by
-    column name)."""
-    parts = []
-    if len(pdf):
-        for _, g in pdf.groupby("bucket", sort=True):
-            out = kernel(g)
-            if len(out):
-                parts.append(out)
-    if not parts:
+def _order_and_head(allr: pd.DataFrame, engine: str, k: int | None) -> list:
+    """Engine-order global top-k over a kernel-output frame — the
+    driver-side twin of orderBy(...).limit(k). Returns rows shaped like
+    the collected distributed result (dict access by column name)."""
+    if not len(allr):
         return []
-    allr = pd.concat(parts, ignore_index=True)
     if engine == "hits":
         allr = allr.sort_values(["hits", "docid"],
                                 ascending=[False, True])
@@ -672,10 +725,12 @@ def _driver_topk(pdf: pd.DataFrame, kernel, engine: str, k: int) -> list:
     else:
         allr = allr.sort_values(["score", "docid"],
                                 ascending=[False, True])
+    if k is not None:
+        allr = allr.head(k)
     return [
         {"docid": int(r.docid), "score": float(r.score),
          "hits": int(r.hits)}
-        for r in allr.head(k).itertuples()
+        for r in allr.itertuples()
     ]
 
 
@@ -958,68 +1013,105 @@ def _make_kernel(engine: str, terms: list[str], multiplicity: dict[str, int],
         if engine == "bm25_or":
             return _or_kernel_body(pdf, terms, idf, avgdl, k)
         decoded = {t: _decode_term_segments(pdf, t) for t in terms}
-
-        if engine == "hits":
-            # union + instance-weighted counting (search_hits_search.go:52-76:
-            # duplicate query tokens re-count; threshold includes duplicates)
-            all_ids = np.concatenate(
-                [decoded[t][0] for t in terms]
-                + [np.zeros(0, dtype=np.int64)]
-            )
-            if len(all_ids) == 0:
-                return _EMPTY
-            weights = np.concatenate(
-                [np.full(len(decoded[t][0]), multiplicity[t], dtype=np.int64)
-                 for t in terms]
-                + [np.zeros(0, dtype=np.int64)]
-            )
-            uniq, inv = np.unique(all_ids, return_inverse=True)
-            hits = np.bincount(inv, weights=weights).astype(np.int64)
-            keep = hits >= threshold
-            return pd.DataFrame(
-                {"docid": uniq[keep], "score": hits[keep].astype(np.float64),
-                 "hits": hits[keep].astype(np.int32)}
-            )
-
-        # AND engines: intersect, then score
-        lists = [decoded[t][0] for t in terms]
-        if any(len(x) == 0 for x in lists):
-            return _EMPTY
-        cand = _gallop_intersect(lists)
-        if len(cand) == 0:
-            return _EMPTY
-
-        if engine == "linear":
-            return pd.DataFrame(
-                {"docid": cand,
-                 "score": np.full(len(cand), float(threshold)),
-                 "hits": np.full(len(cand), threshold, dtype=np.int32)}
-            )
-
-        # bm25_exhaustive: full-decode exact scoring of the AND candidates —
-        # the in-repo oracle for the WAND path; summation in sorted-term
-        # order for float64 determinism vs the oracle
-        score = np.zeros(len(cand), dtype=np.float64)
-        for t in terms:  # `terms` is sorted
-            ids, tfs, dls = decoded[t]
-            pos = np.searchsorted(ids, cand)
-            tf = tfs[pos].astype(np.float64)
-            dl = dls[pos].astype(np.float64)
-            score += idf[t] * (tf * (BM25_K1 + 1.0)) / (
-                tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl)
-            )
-        out = pd.DataFrame(
-            {"docid": cand, "score": score,
-             "hits": np.full(len(cand), len(terms), dtype=np.int32)}
-        )
-        if k is not None and len(out) > k:
-            # local top-k: keep k best (score DESC, docid ASC) per bucket
-            out = out.sort_values(
-                ["score", "docid"], ascending=[False, True]
-            ).head(k)
-        return out
+        return _decoded_body(decoded, engine, terms, multiplicity, idf,
+                             avgdl, threshold, k)
 
     return kernel
+
+
+def _decoded_body(decoded: dict, engine: str, terms: list[str],
+                  multiplicity: dict[str, int], idf: dict[str, float],
+                  avgdl: float, threshold: int, k: int | None
+                  ) -> pd.DataFrame:
+    """Engine math over already-decoded per-term (ids, tfs, dls) arrays —
+    shared verbatim by the per-bucket executor kernel and the driver-side
+    hot-term-cache path, so both routes produce bit-identical float64
+    scores (per-doc scores depend only on that doc's tf/dl and the global
+    stats; bucket partitioning never enters the math)."""
+    if engine == "hits":
+        # union + instance-weighted counting (search_hits_search.go:52-76:
+        # duplicate query tokens re-count; threshold includes duplicates)
+        all_ids = np.concatenate(
+            [decoded[t][0] for t in terms]
+            + [np.zeros(0, dtype=np.int64)]
+        )
+        if len(all_ids) == 0:
+            return _EMPTY
+        weights = np.concatenate(
+            [np.full(len(decoded[t][0]), multiplicity[t], dtype=np.int64)
+             for t in terms]
+            + [np.zeros(0, dtype=np.int64)]
+        )
+        uniq, inv = np.unique(all_ids, return_inverse=True)
+        hits = np.bincount(inv, weights=weights).astype(np.int64)
+        keep = hits >= threshold
+        return pd.DataFrame(
+            {"docid": uniq[keep], "score": hits[keep].astype(np.float64),
+             "hits": hits[keep].astype(np.int32)}
+        )
+
+    if engine == "bm25_or":
+        # exact OR scoring of the whole union — with decoded arrays in
+        # hand there is nothing left for block-max pruning to save.
+        # Summation in sorted-term order (float determinism, same as the
+        # pruned OR kernel's exact())
+        present = [t for t in terms if len(decoded[t][0])]
+        if not present:
+            return _EMPTY
+        uniq = np.unique(np.concatenate([decoded[t][0] for t in present]))
+        score = np.zeros(len(uniq), dtype=np.float64)
+        hits = np.zeros(len(uniq), dtype=np.int64)
+        for t in sorted(present):
+            ids, tfs, dls = decoded[t]
+            pos = np.minimum(np.searchsorted(ids, uniq), len(ids) - 1)
+            m = ids[pos] == uniq
+            tf = tfs[pos[m]].astype(np.float64)
+            dl = dls[pos[m]].astype(np.float64)
+            score[m] += idf[t] * (tf * (BM25_K1 + 1.0)) / (
+                tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl)
+            )
+            hits[m] += 1
+        return pd.DataFrame(
+            {"docid": uniq, "score": score, "hits": hits.astype(np.int32)}
+        )
+
+    # AND engines: intersect, then score
+    lists = [decoded[t][0] for t in terms]
+    if any(len(x) == 0 for x in lists):
+        return _EMPTY
+    cand = _gallop_intersect(lists)
+    if len(cand) == 0:
+        return _EMPTY
+
+    if engine == "linear":
+        return pd.DataFrame(
+            {"docid": cand,
+             "score": np.full(len(cand), float(threshold)),
+             "hits": np.full(len(cand), threshold, dtype=np.int32)}
+        )
+
+    # bm25_exhaustive (and the hot-term-cache path for bm25/bm25_wand):
+    # exact scoring of the AND candidates — the in-repo oracle for the
+    # WAND path; summation in sorted-term order for float64 determinism
+    score = np.zeros(len(cand), dtype=np.float64)
+    for t in sorted(terms):
+        ids, tfs, dls = decoded[t]
+        pos = np.searchsorted(ids, cand)
+        tf = tfs[pos].astype(np.float64)
+        dl = dls[pos].astype(np.float64)
+        score += idf[t] * (tf * (BM25_K1 + 1.0)) / (
+            tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl)
+        )
+    out = pd.DataFrame(
+        {"docid": cand, "score": score,
+         "hits": np.full(len(cand), len(terms), dtype=np.int32)}
+    )
+    if k is not None and len(out) > k:
+        # local top-k: keep k best (score DESC, docid ASC) per bucket
+        out = out.sort_values(
+            ["score", "docid"], ascending=[False, True]
+        ).head(k)
+    return out
 
 
 _EMPTY = pd.DataFrame(
