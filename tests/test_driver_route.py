@@ -177,3 +177,20 @@ def test_hot_term_cache_respects_byte_budget(spark, layouts):
     assert idx2._term_cache_bytes == sum(
         sum(a.nbytes for a in v) for v in idx2._term_cache.values()
     )
+
+
+def test_search_many_mixed_batch_splits_routes(spark, layouts):
+    """Per-query routing inside one batch: with a postings bound that
+    only some queries fit, the light ones serve from the cache and the
+    heavy ones share one distributed job — results identical to the
+    all-distributed batch."""
+    idx = SearchIndex(spark, layouts["build"],
+                      driver_local_max_postings=250)  # splits the batch:
+    # 'java' (df 222) fits, 'programación java' (sum ~500) does not
+    qs = [q for q, _ in QUERIES[:6]]
+    d = [(r["qid"], r["url"], r["docid"], r["score"], r["hits"])
+         for r in idx.search_many(qs, "bm25", 10).collect()]
+    s = [(r["qid"], r["url"], r["docid"], r["score"], r["hits"])
+         for r in idx.search_many(qs, "bm25", 10, route="spark").collect()]
+    assert d == s
+    assert idx._term_cache, "light queries must have used the cache"

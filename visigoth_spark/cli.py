@@ -39,6 +39,9 @@ def _session(app: str):
     return (
         SparkSession.builder.appName(app)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # Arrow createDataFrame: the driver-local query route returns an
+        # Arrow local relation that collects without a job only with this
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.python.worker.reuse", "true")
         .getOrCreate()
     )
@@ -127,6 +130,10 @@ def cmd_query(argv: list[str]) -> int:
                             "noop_all"])
     p.add_argument("-k", type=int, default=10)
     p.add_argument("--no-stem", action="store_true")
+    p.add_argument("--route", default="auto",
+                   choices=["auto", "driver", "spark"],
+                   help="query routing: auto = cost-based (small queries "
+                        "driver-local, head queries distributed)")
     p.add_argument("query", nargs="+")
     a = p.parse_args(argv)
 
@@ -138,7 +145,7 @@ def cmd_query(argv: list[str]) -> int:
     idx = SearchIndex(spark, a.index, analyzer=analyzer)
     t0 = time.time()
     rows = idx.search(" ".join(a.query), a.engine, a.k,
-                      include_raw=idx.has_raw).collect()
+                      include_raw=idx.has_raw, route=a.route).collect()
     dt = time.time() - t0
     # wire shape ≙ the reference's result JSON {"doc": {"id":…, "raw":…},
     # "hits": n} (search_result_easyjson.go:127-142), extended with the

@@ -556,9 +556,11 @@ class SearchIndex:
         scheduling cost that dominates single-query latency — the
         serving-throughput path.
 
-        ``route`` as in :meth:`search`: "auto" runs the whole batch
-        driver-side when the union of all live terms' postings fits the
-        byte threshold (no Spark job at all), distributed otherwise.
+        ``route`` as in :meth:`search`, decided PER QUERY: with "auto"
+        each query whose own terms fit the routing bounds is served from
+        the driver's hot-term cache, and the heavy (head-term) queries
+        share ONE distributed job — an all-tail batch runs with no Spark
+        job at all, a mixed batch pays exactly one.
 
         Returns (qid, url, docid, score, hits[, raw]), each qid's rows in
         the engine's order. qid = position in ``queries``."""
@@ -607,48 +609,80 @@ class SearchIndex:
             {t for qid, _ in kernels for t in plans[qid]["terms"]}
         )
 
-        def multi_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-            outs = []
-            for qid, kern in kernels:
-                out = kern(pdf)
-                if len(out):
-                    out = out.copy()
-                    out.insert(0, "qid", np.int32(qid))
-                    outs.append(out)
-            if not outs:
-                return pd.DataFrame({
-                    "qid": pd.Series(dtype=np.int32),
-                    "docid": pd.Series(dtype=np.int64),
-                    "score": pd.Series(dtype=np.float64),
-                    "hits": pd.Series(dtype=np.int32),
-                })
-            return pd.concat(outs, ignore_index=True)
-
-        local = None
-        if self._route_driver({t: dfs[t] for t in live_terms}, route):
-            decoded = {}
-            for t in live_terms:
-                d = self._decoded_term(t)
-                if d is None:  # can't read driver-side -> distributed
-                    decoded = None
-                    break
-                decoded[t] = d
-            if decoded is not None:
-                body_engine = ("bm25_exhaustive" if engine in
-                               ("bm25", "bm25_wand") else engine)
-                rows_out = []
-                for qid, _ in kernels:
-                    p = plans[qid]
-                    out = _decoded_body(
-                        {t: decoded[t] for t in p["terms"]}, body_engine,
-                        p["terms"], p["mult"], p["idf"], avgdl,
-                        threshold=len(p["tokens"]), k=k,
-                    )
+        def make_multi_kernel(subset: list):
+            def multi_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+                outs = []
+                for qid, kern in subset:
+                    out = kern(pdf)
                     if len(out):
+                        out = out.copy()
+                        out.insert(0, "qid", np.int32(qid))
+                        outs.append(out)
+                if not outs:
+                    return pd.DataFrame({
+                        "qid": pd.Series(dtype=np.int32),
+                        "docid": pd.Series(dtype=np.int64),
+                        "score": pd.Series(dtype=np.float64),
+                        "hits": pd.Series(dtype=np.int32),
+                    })
+                return pd.concat(outs, ignore_index=True)
+            return multi_kernel
+
+        # per-QUERY routing: each query whose own terms fit the bounds is
+        # served from the hot-term cache; the heavy queries share ONE
+        # distributed job (route="driver" forces everything driver-side,
+        # route="spark" everything distributed — a mixed serving batch
+        # pays one job for its head queries instead of one per batch)
+        local = None
+        if route != "spark" and not self._cached:
+            light, heavy = [], []
+            for qid, kern in kernels:
+                own = {t: dfs[t] for t in plans[qid]["terms"]}
+                if self._route_driver(own, route):
+                    light.append(qid)
+                else:
+                    heavy.append((qid, kern))
+            rows_out: list | None = []
+            if light:
+                need = sorted({t for qid in light
+                               for t in plans[qid]["terms"]})
+                decoded = {}
+                for t in need:
+                    d = self._decoded_term(t)
+                    if d is None:  # can't read driver-side
+                        rows_out = None
+                        break
+                    decoded[t] = d
+                if rows_out is not None:
+                    body_engine = ("bm25_exhaustive" if engine in
+                                   ("bm25", "bm25_wand") else engine)
+                    for qid in light:
+                        p = plans[qid]
+                        out = _decoded_body(
+                            {t: decoded[t] for t in p["terms"]},
+                            body_engine, p["terms"], p["mult"], p["idf"],
+                            avgdl, threshold=len(p["tokens"]), k=k,
+                        )
+                        if len(out):
+                            rows_out.extend(
+                                {"qid": qid, "docid": int(r.docid),
+                                 "score": float(r.score),
+                                 "hits": int(r.hits)}
+                                for r in out.itertuples()
+                            )
+            if rows_out is not None:
+                if heavy:
+                    heavy_terms = sorted(
+                        {t for qid, _ in heavy
+                         for t in plans[qid]["terms"]}
+                    )
+                    seg = self._seg_scan(heavy_terms)
+                    if seg is not None:  # None -> provably no rows
                         rows_out.extend(
-                            {"qid": qid, "docid": int(r.docid),
-                             "score": float(r.score), "hits": int(r.hits)}
-                            for r in out.itertuples()
+                            seg.groupBy("bucket").applyInPandas(
+                                make_multi_kernel(heavy),
+                                "qid int, " + RESULT_KERNEL_SCHEMA,
+                            ).collect()
                         )
                 local = rows_out
         if local is None:
@@ -656,7 +690,7 @@ class SearchIndex:
             if seg is None:  # no segment file can contain any live term
                 return self._empty_batch_result(include_raw)
             local = seg.groupBy("bucket").applyInPandas(
-                multi_kernel, "qid int, " + RESULT_KERNEL_SCHEMA
+                make_multi_kernel(kernels), "qid int, " + RESULT_KERNEL_SCHEMA
             ).collect()
 
         # driver-side merge: per qid, global engine-order top-k
