@@ -398,7 +398,14 @@ class SearchIndex:
         }
 
     def indexed(self, term: str) -> np.ndarray:
-        """Posting-list lookup (≙ MemoryIndex.Indexed) — decoded docids."""
+        """Posting-list lookup (≙ MemoryIndex.Indexed) — decoded docids.
+        Routed like search: below the cost bounds the list comes from the
+        driver's hot-term cache (no job); above them, the distributed
+        scan."""
+        if self._route_driver({term: self.term_df([term])[term]}, "auto"):
+            d = self._decoded_term(term)
+            if d is not None:
+                return d[0]
         seg = self._seg_scan([term])
         if seg is None:  # no segment file's term range covers it
             return np.zeros(0, dtype=np.int64)
@@ -435,6 +442,8 @@ class SearchIndex:
             raise ValueError(
                 f"unknown engine {engine!r}; expected one of {sorted(ENGINES)}"
             )
+        if route not in ("auto", "driver", "spark"):
+            raise ValueError(f"unknown route {route!r}")
         if include_raw and not self.has_raw:
             raise ValueError(
                 "include_raw requires an index built with store_raw=True"
@@ -566,6 +575,8 @@ class SearchIndex:
         the engine's order. qid = position in ``queries``."""
         if engine not in ENGINES or engine in ("noop_zero", "noop_all"):
             raise ValueError(f"unsupported batch engine {engine!r}")
+        if route not in ("auto", "driver", "spark"):
+            raise ValueError(f"unknown route {route!r}")
         if include_raw and not self.has_raw:
             raise ValueError(
                 "include_raw requires an index built with store_raw=True"
