@@ -158,13 +158,14 @@ class Catalog:
 
     # ---- D2: search with alias fan-out --------------------------------------
     def search(self, name: str, query: str, engine: str = "bm25",
-               k: int | None = 10, include_raw: bool = False) -> DataFrame:
+               k: int | None = 10, include_raw: bool = False,
+               route: str = "auto") -> DataFrame:
         targets = self._resolve(name)
         if not targets:
             raise KeyError(f"index {name!r} does not exist")  # repos_repo.go:182
         frames = [
             SearchIndex(self.spark, self._index_dir(t), self.analyzer)
-            .search(query, engine, k, include_raw=include_raw)
+            .search(query, engine, k, include_raw=include_raw, route=route)
             for t in targets
         ]
         out = frames[0]
