@@ -89,9 +89,19 @@ def analyze_flat(texts: pd.Series, cfg: AnalyzerConfig = DEFAULT_ANALYZER):
     # Arrow's internal compute pool defaults to ALL host cores; inside a
     # Spark python worker that multiplies into workers x cores threads and
     # thrashes (measured: the 8-worker build burned 2x the CPU of the
-    # 2-worker build). Spark owns the parallelism — Arrow runs single-thread.
+    # 2-worker build). Spark owns the parallelism — Arrow runs single-thread
+    # IN WORKERS ONLY: the pool is process-global, and the driver also runs
+    # this code for query analysis — pinning it there would serialize the
+    # driver-route's pyarrow segment/docmap reads, which have no competing
+    # parallelism and want the threads.
     if pa.cpu_count() != 1:
-        pa.set_cpu_count(1)
+        try:
+            from pyspark import TaskContext
+            in_worker = TaskContext.get() is not None
+        except Exception:
+            in_worker = True  # unknown context: keep the safe behavior
+        if in_worker:
+            pa.set_cpu_count(1)
 
     if cfg.keep_pattern != _DEFAULT_KEEP or not cfg.lowercase:
         lists = _analyze_lists_python(texts, cfg)
