@@ -74,6 +74,10 @@ def image_meta(df: DataFrame, bin_col: str = "payload",
     """Typed metadata for a binary image column. Vectorized mapInPandas;
     only (id, meta) leave the task — the payload is dropped map-side."""
 
+    import visigoth_spark
+
+    visigoth_spark.ensure_shipped(df.sparkSession)
+
     def gen(it):
         for pdf in it:
             metas = [stub_meta(b if b is not None else b"")
@@ -97,6 +101,10 @@ def image_features(df: DataFrame, bin_col: str = "payload",
     """(id, features: array<double>) — the embedding column feeding
     similarity search (pipeline.cosine_topk / ivf_topk)."""
 
+    import visigoth_spark
+
+    visigoth_spark.ensure_shipped(df.sparkSession)
+
     def gen(it):
         for pdf in it:
             feats = [stub_features(b if b is not None else b"", dim).tolist()
@@ -115,6 +123,10 @@ def frame_sample(df: DataFrame, bin_col: str = "payload",
     payload (stub: frame count = payload length determined; frame id +
     per-frame md5 fingerprint). Shows the mapInPandas shape where one input
     row yields many output rows WITHOUT a join or explode-after-udf."""
+
+    import visigoth_spark
+
+    visigoth_spark.ensure_shipped(df.sparkSession)
 
     def gen(it):
         for pdf in it:
