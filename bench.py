@@ -644,6 +644,11 @@ def main() -> None:
         "index": index_info,
     }
     write_bench_md(result)
+    # durable copy FIRST: the driver's stdout tail-capture truncated the
+    # (long) JSON line in round 2, so the canonical result also lands in a
+    # file the driver/judge can always read
+    with open(os.path.join(_REPO, "bench_out.json"), "w") as f:
+        json.dump(result, f, indent=2)
     print(json.dumps(result))
 
 

@@ -161,8 +161,12 @@ class TestCompactModes:
 
     def test_url_tiebreak_restored(self, spark, tmp_path):
         """Two docs with IDENTICAL text appended in reverse url order tie on
-        score; before compaction the tiebreak is ingest order, after it is
-        url order — the pure-batch determinism contract."""
+        score. The reference breaks ties on Document.ID() = the url string
+        (search_result.go:31-38 + entities_doc.go:12-14): the appended
+        index honors it via the hydrated-top-k url re-tiebreak (kernels
+        select on docid = ingest order; only the k-BOUNDARY can differ),
+        and compaction restores docid ≡ url order so the contract holds
+        structurally."""
         pdf, _ = _interleaved_slices(60, 1)
         dup_text = "curso de programación java y web"
         import pandas as pd
@@ -183,7 +187,7 @@ class TestCompactModes:
         idx = SearchIndex(spark, out)
         pre = [r["url"] for r in idx.search(dup_text, "bm25", k=5).collect()
                if r["url"].startswith("zz-")]
-        assert pre == ["zz-b-second", "zz-a-first"]  # ingest order
+        assert pre == ["zz-a-first", "zz-b-second"]  # url re-tiebreak
         compact_index(spark, out, num_partitions=2)
         idx2 = SearchIndex(spark, out)
         post = [r["url"]

@@ -147,18 +147,19 @@ class TestStreamAutoMerge:
         from visigoth_spark.build import _visible_batches
         from visigoth_spark.streaming import foreach_batch_indexer
 
-        pdf = generate_corpus(200).sort_values("url").reset_index(drop=True)
+        pdf = generate_corpus(250).sort_values("url").reset_index(drop=True)
         out = str(tmp_path / "am")
         fn = foreach_batch_indexer(out, num_partitions=2, merge_every=2)
-        for epoch in range(4):
+        for epoch in range(5):
             fn(_df(spark, pdf.iloc[epoch * 50:(epoch + 1) * 50]), epoch)
 
-        # epoch 0 = fresh build (batch 0); epoch 1 append -> merge at
-        # committed=2 folds it; epochs 2-3 append -> merge at committed=4
-        # folds tier+appends: base + ONE tier remain
+        # epoch 0 = fresh build (batch 0; NOT counted toward the merge
+        # boundary); appends fire the merge on every 2nd APPEND: epoch 2
+        # (append #2) folds appends 1-2 into a tier, epoch 4 (append #4)
+        # folds tier+appends 3-4 -> base + ONE tier remain
         vis = [m["batch"] for m in _visible_batches(out)]
         assert len(vis) == 2 and vis[0] == 0
-        assert load_stats(out)["n_docs"] == 200
+        assert load_stats(out)["n_docs"] == 250
 
         oracle = OracleIndex()
         for r in pdf.itertuples():
@@ -173,5 +174,5 @@ class TestStreamAutoMerge:
 
         # replay of a committed epoch is still a no-op after merges
         fn(_df(spark, pdf.iloc[0:50]), 1)
-        assert load_stats(out)["n_docs"] == 200
+        assert load_stats(out)["n_docs"] == 250
         assert [m["batch"] for m in _visible_batches(out)] == vis

@@ -91,6 +91,78 @@ class BuildMetrics:
     wall_sec: float = 0.0
 
 
+import contextlib
+import socket
+
+
+@contextlib.contextmanager
+def _writer_lock(index_dir: str, op: str):
+    """Enforce the single-concurrent-writer contract the maintenance ops
+    (append/merge/compact/gc) document: two writers claiming the same batch
+    id would corrupt the manifest set. An O_EXCL lock file under
+    ``_manifests/`` records (pid, host, op); a second writer fails with a
+    clear error instead of corrupting. A lock whose pid is dead ON THIS
+    host is a crashed writer's leftover and is broken automatically; a
+    live-pid or foreign-host lock raises. POSIX-atomic (O_EXCL); on object
+    stores this is best-effort — pair with an external lease there."""
+    manifest_dir = os.path.join(index_dir, "_manifests")
+    os.makedirs(manifest_dir, exist_ok=True)
+    lock = os.path.join(manifest_dir, "WRITER_LOCK")
+    me = {"pid": os.getpid(), "host": socket.gethostname(), "op": op}
+    for attempt in range(2):
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            with os.fdopen(fd, "w") as f:
+                json.dump(me, f)
+            break
+        except FileExistsError:
+            try:
+                with open(lock) as f:
+                    holder = json.load(f)
+            except (OSError, ValueError):
+                holder = {}
+            stale = False
+            if holder.get("host") == me["host"] and holder.get("pid"):
+                try:
+                    os.kill(int(holder["pid"]), 0)
+                except ProcessLookupError:
+                    stale = True  # crashed writer on this host
+                except PermissionError:
+                    pass  # alive, owned by another user
+            if stale and attempt == 0:
+                with contextlib.suppress(FileNotFoundError):
+                    os.remove(lock)
+                continue
+            raise RuntimeError(
+                f"index {index_dir!r} is locked by another writer "
+                f"{holder or '<unreadable lock>'} ({lock}); maintenance "
+                f"ops are single-writer — wait for it, or remove the lock "
+                f"file if the writer is known dead"
+            )
+    try:
+        yield
+    finally:
+        with contextlib.suppress(FileNotFoundError):
+            os.remove(lock)
+
+
+def _locked(op: str, dir_arg: int):
+    """Decorator: run the maintenance op under the index writer lock
+    (``dir_arg`` = positional index of the index/out dir argument)."""
+    import functools
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapper(*args, **kwargs):
+            out_dir = kwargs.get("out_dir", kwargs.get("index_dir"))
+            if out_dir is None:
+                out_dir = args[dir_arg]
+            with _writer_lock(out_dir, op):
+                return fn(*args, **kwargs)
+        return wrapper
+    return deco
+
+
 def _ranged_corpus(corpus: DataFrame, num_partitions: int,
                    extra_cols: tuple[str, ...] = ()) -> DataFrame:
     """Range-partition the corpus by url and sort within partitions — the
@@ -568,6 +640,7 @@ def _visible_batches(out_dir: str) -> list[dict]:
             if m["batch"] not in replaced and m.get("n_docs", 1) != 0]
 
 
+@_locked("append", dir_arg=2)
 def append_index(
     spark: SparkSession,
     corpus: DataFrame,
@@ -607,10 +680,14 @@ def append_index(
       directory listing.
 
     Ordering note: WITHIN each appended batch docids follow url order; ACROSS
-    batches they follow ingest order (the reference's semantics — its docids
-    are insertion-ordered too, so the (score DESC, docid ASC) tiebreak stays
-    rank-identical to the reference). Exact-score ranking is unaffected
-    (BM25 stats are global).
+    batches they follow ingest order. The reference breaks exact-score ties
+    on Document.ID() — the url STRING (search_result.go:31-38 +
+    entities_doc.go:12-14) — NOT insertion order, so on an appended index
+    the kernels' docid tiebreak can select a different k-set at the score
+    boundary than strict url order would. query.py re-tiebreaks the
+    hydrated top-k on url (contract holds within the returned set);
+    ``compact_index`` restores url-ordered docids and with them the full
+    contract. Exact-score ranking is unaffected (BM25 stats are global).
     """
     t0 = time.time()
     import visigoth_spark
@@ -773,6 +850,7 @@ def append_index(
         src.unpersist()
 
 
+@_locked("merge", dir_arg=1)
 def merge_appends(
     spark: SparkSession,
     index_dir: str,
@@ -869,6 +947,17 @@ def merge_appends(
         .parquet(batch_path)
     )
     seg_meta = _seg_meta(spark, batch_path)
+    # invalidate the stale file-range manifests BEFORE the commit point
+    # (mirrors append_index's ordering): they don't cover the merged
+    # batch's files, and a crash between the commit below and the
+    # regeneration after GC would otherwise leave a segfiles.json
+    # referencing replaced (deleted) files — every query would error until
+    # the manifest was rewritten. Removed first, so a crash in between
+    # only loses the pruning optimization, never correctness.
+    for mf in ("segfiles.json", "docfiles.json"):
+        mp = os.path.join(manifest_dir, mf)
+        if os.path.exists(mp):
+            os.remove(mp)
     # commit point: ONE atomic manifest write makes the merged batch
     # visible and simultaneously hides the batches it replaces
     _write_manifest(
@@ -937,6 +1026,7 @@ def merge_appends(
     )
 
 
+@_locked("gc", dir_arg=0)
 def gc_index(index_dir: str) -> list[int]:
     """Reclaim batches hidden by a merge's ``replaces`` field — the
     deferred half of ``merge_appends(gc=False)``. Manifests are removed
@@ -961,6 +1051,7 @@ def gc_index(index_dir: str) -> list[int]:
     return victims
 
 
+@_locked("compact", dir_arg=1)
 def compact_index(
     spark: SparkSession,
     index_dir: str,
@@ -1195,6 +1286,11 @@ def compact_index(
 
     manifest_dir = os.path.join(stage, "_manifests")
     os.makedirs(manifest_dir, exist_ok=True)
+    # termdict completeness marker (matches build_index/append_index):
+    # without it, a later resumed build's completeness check would rebuild
+    # the termdict unnecessarily
+    _write_manifest(os.path.join(manifest_dir, "termdict.json"),
+                    kind="termdict", wall_sec=time.time() - t0)
     pids = sorted(offsets)
     part_sizes = [offsets[p + 1] - offsets[p] for p in pids[:-1]]
     part_sizes.append(n_docs - offsets[pids[-1]])
@@ -1230,8 +1326,11 @@ def compact_index(
     old_manifest_dir = os.path.join(index_dir, "_manifests")
     for fname in sorted(os.listdir(old_manifest_dir)):
         if fname.startswith("batch_") or fname.endswith(".tmp") or (
-            # regenerated above
-            fname in ("termdict.json", "segfiles.json", "docfiles.json")
+            # termdict/segfiles/docfiles: regenerated above for the staged
+            # layout; WRITER_LOCK: the lock THIS op holds must not survive
+            # the swap (it would deadlock the next maintenance op)
+            fname in ("termdict.json", "segfiles.json", "docfiles.json",
+                      "WRITER_LOCK")
         ):
             continue
         shutil.copy2(os.path.join(old_manifest_dir, fname),

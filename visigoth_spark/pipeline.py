@@ -20,6 +20,19 @@ from pyspark.sql import functions as F
 TOKEN_SPLIT = r"[^\p{L}\p{N}]+"  # ≙ the engine tokenizer split class
 
 
+def unpersist_deps(df: DataFrame) -> None:
+    """Release the intermediate frames a pipeline op persisted for the
+    returned (lazy) result. jaccard_pairs / minhash_lsh_pairs /
+    embedding_dup_pairs cache their candidate-generation lineage because
+    the result frame consumes it 3-4x; the cache must outlive the result's
+    evaluation, so those ops cannot unpersist it themselves. Call this once
+    the result has been consumed — a long-lived session running many dedup
+    jobs otherwise accumulates cached lineage. Safe on any DataFrame
+    (no-op when nothing was attached)."""
+    for cached in getattr(df, "_vg_cached", []):
+        cached.unpersist()
+
+
 def tokens_col(text: Column) -> Column:
     """lower + split + drop empty boundary tokens (pure Catalyst)."""
     return F.filter(F.split(F.lower(text), TOKEN_SPLIT), lambda t: t != "")
@@ -92,6 +105,11 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     they cannot produce a pair and at web scale they are the long tail of
     the shingle distribution (zero result change, large shuffle saving)."""
     sh = token_shingles(df, id_col, text_col, n).cache()
+    # cached: sizes, the df aggregate and both self-join sides would
+    # otherwise recompute the shingle lineage 4x. Lifetime contract: the
+    # cache backs the RETURNED lazy frame, so it cannot be dropped here —
+    # call unpersist_deps(result) once the result is consumed (a long-lived
+    # session running many dedup jobs otherwise accumulates cached lineage)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     sdf = sh.groupBy("shingle").agg(F.count("*").alias("sdf"))
     live = sdf.filter(F.col("sdf") >= 2)
@@ -108,7 +126,7 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     )
     na = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"))
     nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"))
-    return (
+    out = (
         inter.join(na, "id_a").join(nb, "id_b")
         .withColumn(
             "jaccard",
@@ -120,6 +138,8 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    out._vg_cached = [sh]  # released via unpersist_deps(out)
+    return out
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
@@ -171,7 +191,9 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
         ).alias("bs"),
     ).select(id_col, "bs.band", "bs.sig").cache()
     # cached: the shingle+minhash lineage above would otherwise re-execute
-    # for the bucket-size aggregate AND each self-join side (3-4 passes)
+    # for the bucket-size aggregate AND each self-join side (3-4 passes).
+    # Lifetime: backs the returned lazy frame — unpersist_deps(result)
+    cached = bands
     bsize = bands.groupBy("band", "sig").agg(F.count("*").alias("bn"))
     live = bsize.filter(F.col("bn") >= 2)
     if max_bucket_size is not None:
@@ -179,12 +201,14 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     bands = bands.join(live.select("band", "sig"), ["band", "sig"])
     a = bands.select(F.col(id_col).alias("id_a"), "band", "sig")
     b = bands.select(F.col(id_col).alias("id_b"), "band", "sig")
-    return (
+    out = (
         a.join(b, ["band", "sig"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
     )
+    out._vg_cached = [cached]
+    return out
 
 
 def simhash64(df: DataFrame, id_col: str = "doc_id",
@@ -442,7 +466,9 @@ def embedding_dup_pairs(emb: DataFrame, threshold: float = 0.9,
         ).alias("bs"),
     ).select(id_col, "bs.band", "bs.sig").cache()
     # cached: the n_planes x dims dot-product projection would otherwise
-    # re-execute for the bucket-size aggregate and each self-join side
+    # re-execute for the bucket-size aggregate and each self-join side.
+    # Lifetime: backs the returned lazy frame — unpersist_deps(result)
+    cached = bands
     bsize = bands.groupBy("band", "sig").agg(F.count("*").alias("bn"))
     live = bsize.filter(F.col("bn") >= 2)
     if max_bucket_size is not None:
@@ -458,12 +484,14 @@ def embedding_dup_pairs(emb: DataFrame, threshold: float = 0.9,
     )
     va = emb.select(F.col(id_col).alias("id_a"), vec_d.alias("va"))
     vb = emb.select(F.col(id_col).alias("id_b"), vec_d.alias("vb"))
-    return (
+    out = (
         cand.join(va, "id_a").join(vb, "id_b")
         .withColumn("cos", F.round(cosine_sim(F.col("va"), F.col("vb")), 6))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+    out._vg_cached = [cached]
+    return out
 
 
 # ---------------------------------------------------------------------------

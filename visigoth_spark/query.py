@@ -15,10 +15,14 @@ Lifecycle (≙ SURVEY §3.2, re-expressed for Spark):
   driver plan: union of local top-ks -> global orderBy(score DESC,
           docid ASC).limit(k) -> broadcast-join docmap for url hydration.
 
-Determinism: docids are dense in url order (build.py), so
-(score DESC, docid ASC) ≡ the reference's (hits DESC, Document.ID ASC)
-contract (search_result.go:31-38). BM25 sums per-term contributions in
-sorted-term order -> bit-identical float64 scores vs the oracle.
+Determinism: the reference breaks exact-score ties on Document.ID() — the
+url STRING, ascending (search_result.go:31-38 + entities_doc.go:12-14).
+Kernels tiebreak on docid, which ≡ url order for pure batch builds and
+after compact_index; hydrated top-k rows are additionally re-tiebroken on
+url (_retiebreak_on_url) so appended indexes honor the contract within the
+returned set (k-boundary caveat documented there). BM25 sums per-term
+contributions in sorted-term order -> bit-identical float64 scores vs the
+oracle.
 """
 
 from __future__ import annotations
@@ -60,6 +64,44 @@ ENGINES = frozenset(
 _AND_BM25 = ("bm25", "bm25_wand", "bm25_exhaustive")
 
 
+class _RangePruner:
+    """Vectorized file pruning over a [({key}_min, {key}_max, path)] range
+    manifest. The naive per-query check is an O(files x keys) Python loop —
+    a real per-query driver cost at the 10^5-file indexes the manifest
+    exists to serve. Here the bounds live in C-ordered numpy arrays built
+    once at index open: per key one vectorized (min <= key <= max) mask
+    (numpy '<U' string compares are C-level); files with absent stats are
+    always included (can't be excluded). Returns paths in manifest order."""
+
+    def __init__(self, entries: list[dict] | None, key: str):
+        self.entries = entries
+        if not entries:
+            self.paths = None
+            return
+        self.paths = np.array([e["path"] for e in entries], dtype=object)
+        mins = [e.get(f"{key}_min") for e in entries]
+        maxs = [e.get(f"{key}_max") for e in entries]
+        self.always = np.array([m is None for m in mins], dtype=bool)
+        if key == "docid":
+            fill_lo, fill_hi, dt = np.iinfo(np.int64).max, -1, np.int64
+        else:
+            fill_lo, fill_hi, dt = "\U0010ffff", "", None
+        self.mins = np.array(
+            [fill_lo if m is None else m for m in mins], dtype=dt)
+        self.maxs = np.array(
+            [fill_hi if m is None else m for m in maxs], dtype=dt)
+
+    def prune(self, keys: list) -> np.ndarray | None:
+        """Paths whose [min, max] covers any key (plus stat-less files);
+        None when no manifest is loaded."""
+        if self.paths is None:
+            return None
+        mask = self.always.copy()
+        for t in keys:
+            mask |= (self.mins <= t) & (t <= self.maxs)
+        return self.paths[mask]
+
+
 class SearchIndex:
     """Read surface over an index directory (≙ the Indexer interface,
     search_search.go:15-19: Len / Indexed / Document)."""
@@ -97,10 +139,10 @@ class SearchIndex:
         # while its dir awaits GC. Falls back to the directory listing for
         # indexes without manifests.
         try:
-            self._batches = [m["batch"]
-                             for m in _visible_batches(index_dir)]
+            self._manifests = _visible_batches(index_dir)
         except (FileNotFoundError, KeyError):
-            self._batches = []
+            self._manifests = []
+        self._batches = [m["batch"] for m in self._manifests]
         if self._batches:
             data = spark.read.option("basePath", data_root).parquet(
                 *[os.path.join(data_root, f"batch={b}")
@@ -144,6 +186,8 @@ class SearchIndex:
         if os.path.exists(df_path):
             with open(df_path) as f:
                 self._docfiles = json.load(f)["files"]
+        self._seg_prune = _RangePruner(self._segfiles, "term")
+        self._doc_prune = _RangePruner(self._docfiles, "docid")
 
     def cache(self) -> "SearchIndex":
         """Pin the postings + docmap in executor memory (the warm-index
@@ -158,6 +202,7 @@ class SearchIndex:
         # turns off the auto driver-local route: the executor-cached scan
         # is the serving layer the caller asked for)
         self._segfiles = None
+        self._seg_prune = _RangePruner(None, "term")
         self._cached = True
         return self
 
@@ -178,13 +223,9 @@ class SearchIndex:
         non-compacted indexes and cached serving mode. ``cols`` overrides
         the projected columns (default ``_SEG_COLS``)."""
         cols = cols or self._SEG_COLS
-        if self._segfiles is not None:
-            paths = [
-                os.path.join(self.index_dir, e["path"])
-                for e in self._segfiles
-                if e.get("term_min") is None  # stats absent: can't exclude
-                or any(e["term_min"] <= t <= e["term_max"] for t in terms)
-            ]
+        pruned = self._seg_prune.prune(terms)
+        if pruned is not None:
+            paths = [os.path.join(self.index_dir, p) for p in pruned]
             if not paths:
                 return None
             schema = ("bucket int, term string, df_seg int, sum_tf long, "
@@ -244,34 +285,36 @@ class SearchIndex:
         try:
             import pyarrow.dataset as ds
 
-            if self._segfiles is not None:
-                paths = [
-                    os.path.join(self.index_dir, e["path"])
-                    for e in self._segfiles
-                    if e.get("term_min") is None
-                    or any(e["term_min"] <= t <= e["term_max"]
-                           for t in terms)
-                ]
+            pruned = self._seg_prune.prune(terms)
+            if pruned is not None:
+                paths = [os.path.join(self.index_dir, p) for p in pruned]
                 if not paths:
                     return pd.DataFrame(columns=self._SEG_COLS)
                 data = ds.dataset(paths, format="parquet")
             else:
-                if not self._batches:
+                if not self._manifests:
                     return None
                 # ds.dataset() takes a single dir OR a list of FILES —
                 # expand each visible batch's kind=s dir to its parquet
-                # files (a batch whose docs all analyzed to zero tokens
-                # has no kind=s dir; skip it)
+                # files. A missing kind=s dir is legit ONLY for a batch
+                # whose docs all analyzed to zero tokens (manifest records
+                # n_segments == 0); a visible batch with n_segments > 0
+                # whose dir is gone means THIS reader's snapshot was GC'd
+                # under it (merge_appends(gc=True) / gc_index) — return
+                # None so the distributed route fails LOUDLY on the
+                # missing file instead of silently serving partial results.
                 paths = []
-                for b in self._batches:
+                for m in self._manifests:
                     d = os.path.join(self.index_dir, "data",
-                                     f"batch={b}", "kind=s")
+                                     f"batch={m['batch']}", "kind=s")
                     if os.path.isdir(d):
                         paths.extend(
                             os.path.join(d, fn)
                             for fn in sorted(os.listdir(d))
                             if fn.endswith(".parquet")
                         )
+                    elif m.get("n_segments", 0) > 0:
+                        return None
                 if not paths:
                     return pd.DataFrame(columns=self._SEG_COLS)
                 data = ds.dataset(paths, format="parquet")
@@ -351,19 +394,14 @@ class SearchIndex:
         try:
             import pyarrow.dataset as ds
 
-            if self._docfiles is not None:
+            pruned = self._doc_prune.prune(ids)
+            if pruned is not None:
                 # manifest fast path: open only the files whose docid range
                 # covers a requested id (the manifest lists only visible
                 # batches' files, so no batch filter is needed). A stale or
                 # non-covering manifest can only MISS rows, never return
                 # wrong ones — the completeness check below falls back.
-                paths = [
-                    os.path.join(self.index_dir, e["path"])
-                    for e in self._docfiles
-                    if e.get("docid_min") is None
-                    or any(e["docid_min"] <= i <= e["docid_max"]
-                           for i in ids)
-                ]
+                paths = [os.path.join(self.index_dir, p) for p in pruned]
                 data = ds.dataset(paths, format="parquet")
                 flt = ds.field("docid").isin(ids)
             else:
@@ -533,12 +571,16 @@ class SearchIndex:
             return self._empty_result(include_raw)
         ids = [int(r["docid"]) for r in top]
         doc_of = self._docmap_for(ids, with_raw=include_raw)
-        # Ordering contract: (score DESC, docid ASC) ≡ the reference's
-        # (score DESC, Document.ID ASC) — reference IDs are
-        # insertion-ordered (index_memory_index.go:44-60), and so are
-        # ours (dense in url order for a pure batch build; ingest order
-        # across appended batches — the same as the reference's).
-        # docid ≡ url order additionally holds for pure batch builds.
+        # Ordering contract: the reference breaks exact-score ties on
+        # Document.ID() — the NAME string, i.e. url ASC
+        # (search_result.go:31-38 + entities_doc.go:12-14). Kernels select
+        # and pre-order the k-set on (score DESC, docid ASC); docid ≡ url
+        # order for pure batch builds and after compact_index, so there the
+        # contract holds end to end. For APPENDED indexes (docid = ingest
+        # order) the hydrated rows are re-tiebroken on url below — within
+        # the returned set the contract holds; only at the k-boundary can
+        # a tied row outside the k-set differ from strict url-order
+        # selection until compact_index restores url-ordered docids.
         # result as a pandas-backed (Arrow) local relation: collect() on it
         # is jobless, so a driver-routed query runs ZERO Spark jobs end to
         # end (the distributed route reuses this block after its collect)
@@ -552,6 +594,7 @@ class SearchIndex:
         if include_raw:
             out_pd["raw"] = [doc_of[r["docid"]][1] for r in top]
             schema += ", raw string"
+        out_pd = _retiebreak_on_url(out_pd, engine)
         return self.spark.createDataFrame(out_pd, schema)
 
     def search_many(self, queries: list[str], engine: str = "bm25",
@@ -741,6 +784,15 @@ class SearchIndex:
         if include_raw:
             out_pd["raw"] = [doc_of[d][1] for _, d, _, _ in results]
             schema += ", raw string"
+        # per-qid url tiebreak on the hydrated rows (see search())
+        if engine == "hits":
+            by, asc = ["qid", "hits", "url"], [True, False, True]
+        elif engine == "linear":
+            by, asc = ["qid", "docid"], [True, True]
+        else:
+            by, asc = ["qid", "score", "url"], [True, False, True]
+        out_pd = out_pd.sort_values(by, ascending=asc, kind="stable",
+                                    ignore_index=True)
         return self.spark.createDataFrame(out_pd, schema)
 
     def _empty_batch_result(self, include_raw: bool = False) -> DataFrame:
@@ -754,6 +806,22 @@ class SearchIndex:
         if include_raw:
             schema += ", raw string"
         return self.spark.createDataFrame([], schema)
+
+
+def _retiebreak_on_url(out_pd: pd.DataFrame, engine: str) -> pd.DataFrame:
+    """Reference tiebreak contract on the hydrated result set: exact-score
+    ties break on Document.ID() = the url string (search_result.go:31-38,
+    entities_doc.go:12-14). A no-op for pure-batch/compacted indexes where
+    docid ≡ url order (rows arrive already so ordered); for appended
+    indexes this re-sorts the k hydrated rows — k rows, free."""
+    if engine == "hits":
+        by, asc = ["hits", "url"], [False, True]
+    elif engine in ("linear", "noop_all"):
+        by, asc = ["docid"], [True]
+    else:
+        by, asc = ["score", "url"], [False, True]
+    return out_pd.sort_values(by, ascending=asc, kind="stable",
+                              ignore_index=True)
 
 
 def _order_and_head(allr: pd.DataFrame, engine: str, k: int | None) -> list:
@@ -1090,10 +1158,19 @@ def _decoded_body(decoded: dict, engine: str, terms: list[str],
         uniq, inv = np.unique(all_ids, return_inverse=True)
         hits = np.bincount(inv, weights=weights).astype(np.int64)
         keep = hits >= threshold
-        return pd.DataFrame(
+        out = pd.DataFrame(
             {"docid": uniq[keep], "score": hits[keep].astype(np.float64),
              "hits": hits[keep].astype(np.int32)}
         )
+        if k is not None and len(out) > k:
+            # per-bucket top-k cap (hits DESC, docid ASC): without it a
+            # head-term hits query materializes its ENTIRE per-bucket
+            # result set — ruinous on the collected search_many path at
+            # 10^12 docs. The global merge re-sorts, so capping each
+            # bucket at k is lossless for the global top-k.
+            out = out.sort_values(["hits", "docid"],
+                                  ascending=[False, True]).head(k)
+        return out
 
     if engine == "bm25_or":
         # exact OR scoring of the whole union — with decoded arrays in
@@ -1116,9 +1193,13 @@ def _decoded_body(decoded: dict, engine: str, terms: list[str],
                 tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl)
             )
             hits[m] += 1
-        return pd.DataFrame(
+        out = pd.DataFrame(
             {"docid": uniq, "score": score, "hits": hits.astype(np.int32)}
         )
+        if k is not None and len(out) > k:
+            out = out.sort_values(["score", "docid"],
+                                  ascending=[False, True]).head(k)
+        return out
 
     # AND engines: intersect, then score
     lists = [decoded[t][0] for t in terms]
@@ -1129,6 +1210,10 @@ def _decoded_body(decoded: dict, engine: str, terms: list[str],
         return _EMPTY
 
     if engine == "linear":
+        if k is not None and len(cand) > k:
+            # per-bucket cap: linear's order is docid ASC, and cand is
+            # already docid-sorted — the first k ARE the bucket's top-k
+            cand = cand[:k]
         return pd.DataFrame(
             {"docid": cand,
              "score": np.full(len(cand), float(threshold)),

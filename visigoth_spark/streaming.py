@@ -130,9 +130,16 @@ def foreach_batch_indexer(out_dir: str,
         state[str(epoch_id)] = rec
         _save(state)
         if merge_every and not rec.get("fresh"):
-            committed = sum(1 for r in state.values()
-                            if r.get("state") == "committed")
-            if committed % merge_every == 0:
+            # count only committed epochs that actually APPENDED docs: the
+            # fresh-build epoch and empty no-op epochs (n_docs is the
+            # post-epoch total, so an empty append has n_docs ==
+            # base_docid) must not drift the 'every k-th append' boundary
+            appended = sum(
+                1 for r in state.values()
+                if r.get("state") == "committed" and not r.get("fresh")
+                and r.get("n_docs", 0) > r.get("base_docid", 0)
+            )
+            if appended and appended % merge_every == 0:
                 from visigoth_spark.build import merge_appends
 
                 merge_appends(batch_df.sparkSession, out_dir,
