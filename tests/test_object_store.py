@@ -1,0 +1,154 @@
+"""Object-store index storage: the full index lifecycle (build -> append ->
+merge -> compact -> gc -> catalog) over a ``file://`` URI, which routes every
+control-plane operation (manifest commits, batch GC, compaction swap, footer
+sweeps, writer lock, stream ledger) through the Hadoop FileSystem JVM API —
+the exact code path an ``s3a://`` or ``hdfs://`` index takes, minus the
+wire. Results must be identical to the same ops on a plain POSIX path."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from visigoth_spark import storage as vstore
+from visigoth_spark.build import (
+    _visible_batches,
+    append_index,
+    build_index,
+    compact_index,
+    gc_index,
+    load_stats,
+    merge_appends,
+)
+from visigoth_spark.corpus import generate_corpus
+from visigoth_spark.query import SearchIndex
+
+QUERIES = [("curso", "bm25"), ("programación java", "bm25"),
+           ("java", "hits"), ("curso java", "bm25_or"),
+           ("python web", "linear")]
+
+
+def _df(spark, pdf):
+    return spark.createDataFrame(pdf[["url", "text", "lang"]])
+
+
+def _results(idx):
+    out = {}
+    for q, engine in QUERIES:
+        out[(q, engine)] = [
+            (r["url"], r["score"], r["hits"])
+            for r in idx.search(q, engine, k=10).collect()
+        ]
+    return out
+
+
+@pytest.fixture(scope="module")
+def corpus_pdf():
+    return generate_corpus(180)
+
+
+class TestHadoopStoreLifecycle:
+    def test_full_lifecycle_uri_matches_posix(self, spark, tmp_path,
+                                              corpus_pdf):
+        pdf = corpus_pdf
+        posix = str(tmp_path / "posix_idx")
+        uri = "file://" + str(tmp_path / "uri_idx")
+        assert vstore.is_uri(uri) and not vstore.is_uri(posix)
+        assert type(vstore.get_store(uri, spark)).__name__ == "HadoopStore"
+
+        for out in (posix, uri):
+            build_index(spark, _df(spark, pdf.iloc[:100]), out,
+                        num_partitions=2)
+            append_index(spark, _df(spark, pdf.iloc[100:140]), out,
+                         num_partitions=1)
+            append_index(spark, _df(spark, pdf.iloc[140:]), out,
+                         num_partitions=1)
+
+        # appended state: identical results either storage
+        r_posix = _results(SearchIndex(spark, posix))
+        r_uri = _results(SearchIndex(spark, uri))
+        assert r_posix == r_uri
+        assert load_stats(uri)["n_docs"] == 180
+
+        # minor merge with deferred GC, then gc_index — all URI-side
+        for out in (posix, uri):
+            merge_appends(spark, out, num_partitions=2, gc=False)
+            gc_index(out)
+        assert _results(SearchIndex(spark, uri)) == \
+            _results(SearchIndex(spark, posix))
+        vis = _visible_batches(uri)
+        assert len(vis) == 2  # base + merged tier
+        # merged tier regenerated the file-range manifests on the URI store
+        st = vstore.get_store(uri, spark)
+        assert st.exists(vstore.join(uri, "_manifests", "segfiles.json"))
+        assert st.exists(vstore.join(uri, "_manifests", "docfiles.json"))
+
+        # in-place compaction: staged rewrite + Hadoop-rename swap
+        for out in (posix, uri):
+            compact_index(spark, out, num_partitions=2)
+        idx_u = SearchIndex(spark, uri)
+        assert _results(idx_u) == _results(SearchIndex(spark, posix))
+        assert load_stats(uri)["n_batches"] == 1
+        assert not st.exists(vstore.join(uri, "_compact_tmp"))
+        assert not st.exists(vstore.join(uri, "_pre_compact"))
+        # no writer lock left behind by the swap
+        assert not st.exists(vstore.join(uri, "_manifests", "WRITER_LOCK"))
+
+    def test_writer_lock_on_uri(self, spark, tmp_path, corpus_pdf):
+        from visigoth_spark.build import _writer_lock
+
+        uri = "file://" + str(tmp_path / "lk_idx")
+        build_index(spark, _df(spark, corpus_pdf.iloc[:40]), uri,
+                    num_partitions=1)
+        with _writer_lock(uri, "test"):
+            with pytest.raises(RuntimeError, match="locked"):
+                append_index(spark, _df(spark, corpus_pdf.iloc[40:50]),
+                             uri, num_partitions=1)
+        append_index(spark, _df(spark, corpus_pdf.iloc[40:50]), uri,
+                     num_partitions=1)
+        assert load_stats(uri)["n_docs"] == 50
+
+    def test_stream_ledger_on_uri(self, spark, tmp_path, corpus_pdf):
+        from visigoth_spark.streaming import foreach_batch_indexer
+
+        uri = "file://" + str(tmp_path / "st_idx")
+        fn = foreach_batch_indexer(uri, num_partitions=1)
+        fn(_df(spark, corpus_pdf.iloc[:60]), epoch_id=0)
+        fn(_df(spark, corpus_pdf.iloc[60:90]), epoch_id=1)
+        fn(_df(spark, corpus_pdf.iloc[60:90]), epoch_id=1)  # replay: no-op
+        assert load_stats(uri)["n_docs"] == 90
+        st = vstore.get_store(uri, spark)
+        eps = st.read_json(
+            vstore.join(uri, "_manifests", "stream_epochs.json"))
+        assert eps["0"]["state"] == "committed"
+        assert eps["1"]["state"] == "committed"
+
+    def test_catalog_on_uri(self, spark, tmp_path, corpus_pdf):
+        from visigoth_spark.catalog import Catalog
+
+        root = "file://" + str(tmp_path / "cat")
+        cat = Catalog(spark, root)
+        cat.ingest("main", _df(spark, corpus_pdf.iloc[:50]),
+                   num_partitions=1)
+        assert cat.list() == ["main"]
+        cat.alias("serving", "main")
+        assert cat.search("serving", "curso", k=5).count() > 0
+        assert cat.rename("main", "web")
+        assert cat.search("serving", "curso", k=5).count() > 0
+        assert cat.drop("web")
+        assert cat.list() == []
+
+    def test_resume_on_uri(self, spark, tmp_path, corpus_pdf):
+        """Batched build with resume on a URI index: the per-batch
+        manifests + _SUCCESS markers round-trip through the store."""
+        uri = "file://" + str(tmp_path / "rs_idx")
+        build_index(spark, _df(spark, corpus_pdf), uri,
+                    num_partitions=4, n_batches=2)
+        st = vstore.get_store(uri, spark)
+        # wipe one batch's manifest: resume must redo exactly that batch
+        st.remove(vstore.join(uri, "_manifests", "batch_1.json"))
+        build_index(spark, _df(spark, corpus_pdf), uri,
+                    num_partitions=4, n_batches=2, resume=True)
+        assert load_stats(uri)["n_docs"] == len(corpus_pdf)
+        assert len(_visible_batches(uri)) == 2

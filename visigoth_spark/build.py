@@ -55,7 +55,6 @@ from __future__ import annotations
 import json
 import math
 import os
-import shutil
 import time
 from dataclasses import dataclass
 
@@ -66,6 +65,7 @@ from pyspark.sql import functions as F
 
 from visigoth_spark.analysis import AnalyzerConfig, DEFAULT_ANALYZER, analyze_flat
 from visigoth_spark.codec import encode_groups
+from visigoth_spark import storage as vstore
 
 # one fused output schema: segment rows (kind='s') + docmap rows (kind='d').
 # Non-applicable columns carry sentinel values (not nulls) to keep the Arrow
@@ -99,51 +99,49 @@ import socket
 def _writer_lock(index_dir: str, op: str):
     """Enforce the single-concurrent-writer contract the maintenance ops
     (append/merge/compact/gc) document: two writers claiming the same batch
-    id would corrupt the manifest set. An O_EXCL lock file under
+    id would corrupt the manifest set. A create-exclusive lock file under
     ``_manifests/`` records (pid, host, op); a second writer fails with a
     clear error instead of corrupting. A lock whose pid is dead ON THIS
     host is a crashed writer's leftover and is broken automatically; a
-    live-pid or foreign-host lock raises. POSIX-atomic (O_EXCL); on object
-    stores this is best-effort — pair with an external lease there."""
-    manifest_dir = os.path.join(index_dir, "_manifests")
-    os.makedirs(manifest_dir, exist_ok=True)
-    lock = os.path.join(manifest_dir, "WRITER_LOCK")
+    live-pid or foreign-host lock raises. Atomic on POSIX/HDFS
+    (O_EXCL / create(overwrite=false)); best-effort on S3-like stores —
+    pair with an external lease there (storage.py module notes)."""
+    store = vstore.get_store(index_dir)
+    manifest_dir = vstore.join(index_dir, "_manifests")
+    store.makedirs(manifest_dir)
+    lock = vstore.join(manifest_dir, "WRITER_LOCK")
     me = {"pid": os.getpid(), "host": socket.gethostname(), "op": op}
+    payload = json.dumps(me).encode()
     for attempt in range(2):
-        try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            with os.fdopen(fd, "w") as f:
-                json.dump(me, f)
+        if store.create_exclusive(lock, payload):
             break
-        except FileExistsError:
+        try:
+            holder = store.read_json(lock)
+        except (OSError, ValueError):
+            holder = {}
+        stale = False
+        if holder.get("host") == me["host"] and holder.get("pid"):
             try:
-                with open(lock) as f:
-                    holder = json.load(f)
-            except (OSError, ValueError):
-                holder = {}
-            stale = False
-            if holder.get("host") == me["host"] and holder.get("pid"):
-                try:
-                    os.kill(int(holder["pid"]), 0)
-                except ProcessLookupError:
-                    stale = True  # crashed writer on this host
-                except PermissionError:
-                    pass  # alive, owned by another user
-            if stale and attempt == 0:
-                with contextlib.suppress(FileNotFoundError):
-                    os.remove(lock)
-                continue
-            raise RuntimeError(
-                f"index {index_dir!r} is locked by another writer "
-                f"{holder or '<unreadable lock>'} ({lock}); maintenance "
-                f"ops are single-writer — wait for it, or remove the lock "
-                f"file if the writer is known dead"
-            )
+                os.kill(int(holder["pid"]), 0)
+            except ProcessLookupError:
+                stale = True  # crashed writer on this host
+            except PermissionError:
+                pass  # alive, owned by another user
+        if stale and attempt == 0:
+            with contextlib.suppress(FileNotFoundError):
+                store.remove(lock)
+            continue
+        raise RuntimeError(
+            f"index {index_dir!r} is locked by another writer "
+            f"{holder or '<unreadable lock>'} ({lock}); maintenance "
+            f"ops are single-writer — wait for it, or remove the lock "
+            f"file if the writer is known dead"
+        )
     try:
         yield
     finally:
         with contextlib.suppress(FileNotFoundError):
-            os.remove(lock)
+            store.remove(lock)
 
 
 def _locked(op: str, dir_arg: int):
@@ -161,6 +159,17 @@ def _locked(op: str, dir_arg: int):
                 return fn(*args, **kwargs)
         return wrapper
     return deco
+
+
+def _input_file_size(f: str, spark) -> int:
+    """Size of one DataFrame.inputFiles() entry. Spark reports these as
+    URIs — 'file:/x' (single slash) for local files; other schemes go
+    through their Hadoop store."""
+    if f.startswith("file:"):
+        return os.path.getsize("/" + f.split(":/", 1)[1].lstrip("/"))
+    if vstore.is_uri(f):
+        return vstore.get_store(f, spark).getsize(f)
+    return os.path.getsize(f)
 
 
 def _ranged_corpus(corpus: DataFrame, num_partitions: int,
@@ -407,9 +416,10 @@ def build_index(
         since[0] = time.time()
 
     tmark = [t0]
-    os.makedirs(out_dir, exist_ok=True)
+    store = vstore.get_store(out_dir, spark)
+    store.makedirs(out_dir)
     manifest_dir = os.path.join(out_dir, "_manifests")
-    os.makedirs(manifest_dir, exist_ok=True)
+    store.makedirs(manifest_dir)
 
     P = num_partitions or spark.sparkContext.defaultParallelism * 2
     saved_mpb = None
@@ -422,9 +432,7 @@ def build_index(
         # caching of text columns.
         try:
             files = corpus.inputFiles()
-            total = sum(
-                os.path.getsize(f.replace("file:", "")) for f in files
-            )
+            total = sum(_input_file_size(f, spark) for f in files)
             saved_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
             spark.conf.set(
                 "spark.sql.files.maxPartitionBytes",
@@ -542,8 +550,8 @@ def build_index(
         # ---- aggregate stats from manifests (cheap, exact) ------------------
         total_tokens = n_postings = n_segments = bytes_blob = 0
         for bi in range(n_batches):
-            with open(os.path.join(manifest_dir, f"batch_{bi}.json")) as f:
-                m = json.load(f)
+            m = store.read_json(
+                os.path.join(manifest_dir, f"batch_{bi}.json"))
             total_tokens += m.get("total_tokens", 0)
             n_postings += m.get("n_postings", 0)
             n_segments += m.get("n_segments", 0)
@@ -580,8 +588,7 @@ def build_index(
             "built_at_sec": time.time(),
             "wall_sec": metrics.wall_sec,
         }
-        with open(os.path.join(out_dir, "stats.json"), "w") as f:
-            json.dump(stats, f, indent=2)
+        store.write_json_atomic(os.path.join(out_dir, "stats.json"), stats)
         return metrics
     finally:
         if saved_mpb is not None:
@@ -611,12 +618,12 @@ def _batch_manifests(out_dir: str) -> list[dict]:
     """All committed batch manifests, sorted by batch number. These — not
     stats.json — are the source of truth for docid/bucket allocation:
     stats.json is a derived cache that a crash can leave stale."""
-    manifest_dir = os.path.join(out_dir, "_manifests")
+    store = vstore.get_store(out_dir)
+    manifest_dir = vstore.join(out_dir, "_manifests")
     out = []
-    for f in sorted(os.listdir(manifest_dir)):
+    for f in store.listdir(manifest_dir):
         if f.startswith("batch_") and f.endswith(".json"):
-            with open(os.path.join(manifest_dir, f)) as fh:
-                out.append(json.load(fh))
+            out.append(store.read_json(vstore.join(manifest_dir, f)))
     return sorted(out, key=lambda m: m["batch"])
 
 
@@ -693,7 +700,8 @@ def append_index(
     import visigoth_spark
 
     visigoth_spark.ensure_shipped(spark)
-    if not os.path.exists(os.path.join(out_dir, "stats.json")):
+    store = vstore.get_store(out_dir, spark)
+    if not store.exists(os.path.join(out_dir, "stats.json")):
         return build_index(spark, corpus, out_dir, analyzer=analyzer,
                            num_partitions=num_partitions,
                            flush_docs=flush_docs, store_raw=store_raw,
@@ -770,8 +778,8 @@ def append_index(
         # optimization, never correctness.
         for mf in ("segfiles.json", "docfiles.json"):
             mp = os.path.join(manifest_dir, mf)
-            if os.path.exists(mp):
-                os.remove(mp)
+            if store.exists(mp):
+                store.remove(mp)
         # commit point: the manifest makes the batch part of the index
         _write_manifest(
             os.path.join(manifest_dir, f"batch_{batch_id}.json"),
@@ -836,8 +844,7 @@ def append_index(
             stats.get("store_raw")
         )
         stats["built_at_sec"] = time.time()
-        with open(os.path.join(out_dir, "stats.json"), "w") as f:
-            json.dump(stats, f, indent=2)
+        store.write_json_atomic(os.path.join(out_dir, "stats.json"), stats)
         return BuildMetrics(
             n_docs=stats["n_docs"],
             n_postings=int(seg_meta["n_postings"] or 0),
@@ -902,6 +909,7 @@ def merge_appends(
     import visigoth_spark
 
     visigoth_spark.ensure_shipped(spark)
+    store = vstore.get_store(index_dir, spark)
     stats = load_stats(index_dir)
     manifest_dir = os.path.join(index_dir, "_manifests")
     to_merge = [m for m in _visible_batches(index_dir)
@@ -915,16 +923,15 @@ def merge_appends(
     # yet committed (stream_epochs.json): the epoch's crash-replay writes
     # its pinned batch id mode=overwrite and would destroy the merged batch
     ledger = os.path.join(manifest_dir, "stream_epochs.json")
-    if os.path.exists(ledger):
-        with open(ledger) as f:
-            epochs = json.load(f)
+    if store.exists(ledger):
+        epochs = store.read_json(ledger)
         new_batch = max(new_batch, 1 + max(
             (r["batch"] for r in epochs.values() if "batch" in r),
             default=-1,
         ))
     batch_path = os.path.join(data_root, f"batch={new_batch}")
-    if os.path.exists(batch_path):
-        shutil.rmtree(batch_path)  # inert orphan from a crashed prior merge
+    if store.exists(batch_path):
+        store.rmtree(batch_path)  # inert orphan from a crashed prior merge
     paths = [os.path.join(data_root, f"batch={b}") for b in src_ids]
     rows = spark.read.option("basePath", data_root).parquet(*paths)
     P = num_partitions or spark.sparkContext.defaultParallelism * 2
@@ -956,8 +963,8 @@ def merge_appends(
     # only loses the pruning optimization, never correctness.
     for mf in ("segfiles.json", "docfiles.json"):
         mp = os.path.join(manifest_dir, mf)
-        if os.path.exists(mp):
-            os.remove(mp)
+        if store.exists(mp):
+            store.remove(mp)
     # commit point: ONE atomic manifest write makes the merged batch
     # visible and simultaneously hides the batches it replaces
     _write_manifest(
@@ -985,11 +992,10 @@ def merge_appends(
     if gc:
         for b in src_ids:
             mp = os.path.join(manifest_dir, f"batch_{b}.json")
-            if os.path.exists(mp):
-                os.remove(mp)
+            if store.exists(mp):
+                store.remove(mp)
         for b in src_ids:
-            shutil.rmtree(os.path.join(data_root, f"batch={b}"),
-                          ignore_errors=True)
+            store.rmtree(os.path.join(data_root, f"batch={b}"))
     # file-range manifest over EVERY visible segment file: the merged tier
     # contributes tight disjoint ranges; base batches whatever their footer
     # stats give (wide for the build layout, tight after a full compaction)
@@ -1014,8 +1020,7 @@ def merge_appends(
     stats["bytes_blob"] = sum(m.get("bytes_blob", 0) for m in vis_after)
     stats["n_batches"] = len(vis_after)
     stats["merged_at_sec"] = time.time()
-    with open(os.path.join(index_dir, "stats.json"), "w") as f:
-        json.dump(stats, f, indent=2)
+    store.write_json_atomic(os.path.join(index_dir, "stats.json"), stats)
     return BuildMetrics(
         n_docs=stats["n_docs"],
         n_postings=int(seg_meta["n_postings"] or 0),
@@ -1039,15 +1044,15 @@ def gc_index(index_dir: str) -> list[int]:
     for m in ms:
         replaced.update(m.get("replaces", []))
     victims = sorted(replaced & {m["batch"] for m in ms})
+    store = vstore.get_store(index_dir)
     manifest_dir = os.path.join(index_dir, "_manifests")
     data_root = os.path.join(index_dir, "data")
     for b in victims:
         mp = os.path.join(manifest_dir, f"batch_{b}.json")
-        if os.path.exists(mp):
-            os.remove(mp)
+        if store.exists(mp):
+            store.remove(mp)
     for b in victims:
-        shutil.rmtree(os.path.join(data_root, f"batch={b}"),
-                      ignore_errors=True)
+        store.rmtree(os.path.join(data_root, f"batch={b}"))
     return victims
 
 
@@ -1113,18 +1118,21 @@ def compact_index(
     disk (``_pre_compact`` + staged pieces) for manual recovery, and a stale
     ``_compact_tmp`` from a crashed run is cleared on the next call.
     """
-    import shutil
-
     import visigoth_spark
 
     visigoth_spark.ensure_shipped(spark)
     t0 = time.time()
+    store = vstore.get_store(index_dir, spark)
     stats = load_stats(index_dir)
     in_place = dest is None
     stage = os.path.join(index_dir, "_compact_tmp") if in_place else dest
-    if in_place and os.path.exists(stage):
-        shutil.rmtree(stage)  # stale staging from a crashed prior run
-    os.makedirs(stage, exist_ok=True)
+    # dest may live on a DIFFERENT store than the source index (e.g.
+    # compact a POSIX index into s3a://); the swap path is in-place only,
+    # so src/dst stores never mix inside a rename
+    stage_store = store if in_place else vstore.get_store(stage, spark)
+    if in_place and store.exists(stage):
+        store.rmtree(stage)  # stale staging from a crashed prior run
+    stage_store.makedirs(stage)
 
     old_root = os.path.join(index_dir, "data")
     data = spark.read.option("basePath", old_root).parquet(old_root)
@@ -1324,17 +1332,19 @@ def compact_index(
     # (stream_epochs.json): losing it across the swap would make a restarted
     # stream re-ingest its replayed epochs as duplicates
     old_manifest_dir = os.path.join(index_dir, "_manifests")
-    for fname in sorted(os.listdir(old_manifest_dir)):
+    for fname in store.listdir(old_manifest_dir):
         if fname.startswith("batch_") or fname.endswith(".tmp") or (
             # termdict/segfiles/docfiles: regenerated above for the staged
             # layout; WRITER_LOCK: the lock THIS op holds must not survive
             # the swap (it would deadlock the next maintenance op)
             fname in ("termdict.json", "segfiles.json", "docfiles.json",
                       "WRITER_LOCK")
-        ):
+        ) or fname.startswith("WRITER_LOCK.tmp"):
             continue
-        shutil.copy2(os.path.join(old_manifest_dir, fname),
-                     os.path.join(manifest_dir, fname))
+        stage_store.write_atomic(
+            os.path.join(manifest_dir, fname),
+            store.read_bytes(os.path.join(old_manifest_dir, fname)),
+        )
     new_stats = dict(stats)
     new_stats.update(
         n_docs=n_docs,
@@ -1351,26 +1361,29 @@ def compact_index(
         built_at_sec=time.time(),
         wall_sec=wall,
     )
-    with open(os.path.join(stage, "stats.json"), "w") as f:
-        json.dump(new_stats, f, indent=2)
-    shutil.rmtree(map_path)  # staging artifact, not part of the index
+    stage_store.write_json_atomic(
+        os.path.join(stage, "stats.json"), new_stats)
+    stage_store.rmtree(map_path)  # staging artifact, not part of the index
 
     if in_place:
         # swap: previous index parked at _pre_compact until the new one is
         # fully in place, then deleted. Single-writer maintenance window.
+        # On rename-atomic filesystems each piece moves atomically; on
+        # object stores rename is a copy — prefer dest= + alias repoint
+        # (catalog.py) there, which this swap path never requires.
         pre = os.path.join(index_dir, "_pre_compact")
-        if os.path.exists(pre):
-            shutil.rmtree(pre)
-        os.makedirs(pre)
+        if store.exists(pre):
+            store.rmtree(pre)
+        store.makedirs(pre)
         pieces = ("data", "termdict", "_manifests", "stats.json")
         for name in pieces:
-            os.replace(os.path.join(index_dir, name),
-                       os.path.join(pre, name))
+            store.rename(os.path.join(index_dir, name),
+                         os.path.join(pre, name))
         for name in pieces:
-            os.replace(os.path.join(stage, name),
-                       os.path.join(index_dir, name))
-        shutil.rmtree(pre)
-        shutil.rmtree(stage)
+            store.rename(os.path.join(stage, name),
+                         os.path.join(index_dir, name))
+        store.rmtree(pre)
+        store.rmtree(stage)
 
     return BuildMetrics(
         n_docs=n_docs,
@@ -1393,17 +1406,29 @@ def _sweep_file_ranges(root: str, dirs: list[str],
     batch whose docs all analyzed to zero tokens writes no kind=s dir) is
     skipped. A file with absent stats gets null bounds — planners must
     always include it."""
+    import pyarrow as pa_
     import pyarrow.parquet as pq_
+
+    store = vstore.get_store(root)
+
+    def _footer(full: str):
+        local = store.local_path(full)
+        if local is not None:
+            return pq_.ParquetFile(local).metadata
+        # object store: footer via the store's seekable stream (a handful
+        # of ranged reads per file; py4j-batched, no per-byte marshalling)
+        with store.open_seekable(full) as f:
+            return pq_.ParquetFile(pa_.PythonFile(f, mode="r")).metadata
 
     entries = []
     for d in dirs:
-        if not os.path.isdir(d):
+        if not store.isdir(d):
             continue
-        for fn in sorted(os.listdir(d)):
+        for fn in store.listdir(d):
             if not fn.endswith(".parquet"):
                 continue
-            full = os.path.join(d, fn)
-            md = pq_.ParquetFile(full).metadata
+            full = vstore.join(d, fn)
+            md = _footer(full)
             names = [md.schema.column(i).name
                      for i in range(md.num_columns)]
             ci = names.index(column)
@@ -1416,7 +1441,7 @@ def _sweep_file_ranges(root: str, dirs: list[str],
                 mins.append(st.min)
                 maxs.append(st.max)
             entries.append({
-                "path": os.path.relpath(full, root),
+                "path": vstore.relpath(full, root),
                 f"{key}_min": min(mins) if mins else None,
                 f"{key}_max": max(maxs) if maxs else None,
             })
@@ -1449,19 +1474,20 @@ def _write_docfiles_manifest(root: str, manifest_dir: str,
 
 
 def _write_manifest(path: str, **kv) -> None:
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(kv, f, indent=2)
-    os.replace(tmp, path)  # atomic: a manifest is either absent or complete
+    # atomic commit: a manifest is either absent or complete (POSIX rename
+    # locally; per-scheme commit semantics in storage.py)
+    vstore.get_store(path).write_json_atomic(path, kv)
 
 
 def _is_complete(manifest_path: str, data_path: str) -> bool:
+    store = vstore.get_store(manifest_path)
     return (
-        os.path.exists(manifest_path)
-        and os.path.exists(os.path.join(data_path, "_SUCCESS"))
+        store.exists(manifest_path)
+        and store.exists(vstore.join(data_path, "_SUCCESS"))
     )
 
 
 def load_stats(index_dir: str) -> dict:
-    with open(os.path.join(index_dir, "stats.json")) as f:
-        return json.load(f)
+    return vstore.get_store(index_dir).read_json(
+        vstore.join(index_dir, "stats.json")
+    )

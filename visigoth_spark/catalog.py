@@ -24,7 +24,6 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -39,24 +38,23 @@ class Catalog:
 
     def __init__(self, spark: SparkSession, root: str,
                  analyzer: AnalyzerConfig = DEFAULT_ANALYZER):
+        from visigoth_spark import storage as vstore
+
         self.spark = spark
         self.root = root
         self.analyzer = analyzer
-        os.makedirs(root, exist_ok=True)
+        self._store = vstore.get_store(root, spark)
+        self._store.makedirs(root)
         self._manifest_path = os.path.join(root, "catalog.json")
-        if not os.path.exists(self._manifest_path):
+        if not self._store.exists(self._manifest_path):
             self._save({"indexes": [], "aliases": {}})
 
     # ---- manifest ----------------------------------------------------------
     def _load(self) -> dict:
-        with open(self._manifest_path) as f:
-            return json.load(f)
+        return self._store.read_json(self._manifest_path)
 
     def _save(self, m: dict) -> None:
-        tmp = self._manifest_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(m, f, indent=2)
-        os.replace(tmp, tmp[: -len(".tmp")])
+        self._store.write_json_atomic(self._manifest_path, m)
 
     def _index_dir(self, name: str) -> str:
         return os.path.join(self.root, f"idx_{name}")
@@ -215,8 +213,8 @@ class Catalog:
                 if n == old:
                     lst[i] = new
         old_dir, new_dir = self._index_dir(old), self._index_dir(new)
-        if os.path.exists(old_dir):
-            os.rename(old_dir, new_dir)
+        if self._store.exists(old_dir):
+            self._store.rename(old_dir, new_dir)
         self._save(m)
         return True
 
@@ -234,6 +232,6 @@ class Catalog:
                 del m["aliases"][alias]
         self._save(m)
         d = self._index_dir(name)
-        if os.path.exists(d):
-            shutil.rmtree(d)
+        if self._store.exists(d):
+            self._store.rmtree(d)
         return True

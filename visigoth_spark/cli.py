@@ -5,12 +5,12 @@ Usage (cluster):
     cd /root/repo && zip -r /tmp/visigoth_spark.zip visigoth_spark
     spark-submit --py-files /tmp/visigoth_spark.zip \
         visigoth_spark/cli.py build \
-        --corpus /data/commoncrawl_pages --out s3://bucket/idx/main \
+        --corpus /data/commoncrawl_pages --out s3a://bucket/idx/main \
         --partitions 4096 --batches 64 --resume
 
     spark-submit --py-files /tmp/visigoth_spark.zip \
         visigoth_spark/cli.py query \
-        --index s3://bucket/idx/main --engine bm25_wand -k 10 \
+        --index s3a://bucket/idx/main --engine bm25_wand -k 10 \
         "programación java"
 
 Local (sandbox) smoke:
@@ -23,6 +23,12 @@ catalog table via ``spark.read.table`` — the input-table shape is the
 BASELINE.json input_hint schema (url, warc_ts, html, text, lang). When the
 ``text`` column is absent it is derived from ``html`` with the vectorized
 extractor (byte-identical to the oracle extractor, analysis.extract_text).
+
+Index storage: ``--out`` / ``--index`` accept plain paths AND any scheme
+Spark's Hadoop layer reaches (hdfs://, s3a://, gs://, abfs://, file://) —
+the data planes go through Spark writers and the control plane (manifest
+commits, GC, compaction swap, footer sweeps) through storage.py's
+Hadoop-FileSystem store. Per-scheme commit-atomicity notes: storage.py.
 """
 
 from __future__ import annotations

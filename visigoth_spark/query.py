@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 
 from visigoth_spark.analysis import AnalyzerConfig, DEFAULT_ANALYZER, analyze_text
 from visigoth_spark.build import _visible_batches, load_stats
+from visigoth_spark import storage as vstore
 from visigoth_spark.codec import (
     BM25_B,
     BM25_K1,
@@ -131,6 +132,15 @@ class SearchIndex:
         self._term_cache: "OrderedDict[str, tuple]" = OrderedDict()
         self._term_cache_bytes = 0
         self._cached = False
+        self._store = vstore.get_store(index_dir, spark)
+        # POSIX path when the index bytes are directly readable by local
+        # libraries (plain paths and file:// URIs). None on object stores:
+        # the driver-local pyarrow fast paths (routing, termdict seek,
+        # docmap point lookup) are skipped and every query runs the
+        # distributed route — the right split there anyway (those paths
+        # exist to dodge job latency on local serving, not to stream an
+        # object store through the driver).
+        self._local_root = self._store.local_path(index_dir)
         self.stats = load_stats(index_dir)
         data_root = f"{index_dir}/data"
         # plan from the batch MANIFESTS, not a directory listing: an orphan
@@ -176,16 +186,14 @@ class SearchIndex:
         import json
 
         sf_path = os.path.join(index_dir, "_manifests", "segfiles.json")
-        if os.path.exists(sf_path):
-            with open(sf_path) as f:
-                self._segfiles = json.load(f)["files"]
+        if self._store.exists(sf_path):
+            self._segfiles = self._store.read_json(sf_path)["files"]
         # the docid analogue for hydration: per-docmap-file docid ranges,
         # so _docmap_for opens ~1 file per result id instead of sweeping
         # every docmap footer
         df_path = os.path.join(index_dir, "_manifests", "docfiles.json")
-        if os.path.exists(df_path):
-            with open(df_path) as f:
-                self._docfiles = json.load(f)["files"]
+        if self._store.exists(df_path):
+            self._docfiles = self._store.read_json(df_path)["files"]
         self._seg_prune = _RangePruner(self._segfiles, "term")
         self._doc_prune = _RangePruner(self._docfiles, "docid")
 
@@ -282,12 +290,14 @@ class SearchIndex:
         to row-group stats. Returns None when the read can't run driver-side
         (non-local storage, no manifests) — the caller falls back to the
         distributed scan. An empty frame means provably no matching rows."""
+        if self._local_root is None:
+            return None  # object-store index: distributed route only
         try:
             import pyarrow.dataset as ds
 
             pruned = self._seg_prune.prune(terms)
             if pruned is not None:
-                paths = [os.path.join(self.index_dir, p) for p in pruned]
+                paths = [os.path.join(self._local_root, p) for p in pruned]
                 if not paths:
                     return pd.DataFrame(columns=self._SEG_COLS)
                 data = ds.dataset(paths, format="parquet")
@@ -305,7 +315,7 @@ class SearchIndex:
                 # missing file instead of silently serving partial results.
                 paths = []
                 for m in self._manifests:
-                    d = os.path.join(self.index_dir, "data",
+                    d = os.path.join(self._local_root, "data",
                                      f"batch={m['batch']}", "kind=s")
                     if os.path.isdir(d):
                         paths.extend(
@@ -359,8 +369,9 @@ class SearchIndex:
         if not terms:
             return {}
         out = {t: 0 for t in terms}
-        td = os.path.join(self.index_dir, "termdict")
-        if os.path.isdir(td):
+        td = (os.path.join(self._local_root, "termdict")
+              if self._local_root is not None else "")
+        if td and os.path.isdir(td):
             try:
                 import pyarrow.dataset as ds
 
@@ -392,6 +403,8 @@ class SearchIndex:
         with_raw = with_raw and self.has_raw
         cols = ["docid", "url"] + (["raw"] if with_raw else [])
         try:
+            if self._local_root is None:
+                raise OSError("non-local index")  # -> Spark fallback below
             import pyarrow.dataset as ds
 
             pruned = self._doc_prune.prune(ids)
@@ -401,12 +414,12 @@ class SearchIndex:
                 # batches' files, so no batch filter is needed). A stale or
                 # non-covering manifest can only MISS rows, never return
                 # wrong ones — the completeness check below falls back.
-                paths = [os.path.join(self.index_dir, p) for p in pruned]
+                paths = [os.path.join(self._local_root, p) for p in pruned]
                 data = ds.dataset(paths, format="parquet")
                 flt = ds.field("docid").isin(ids)
             else:
                 data = ds.dataset(
-                    os.path.join(self.index_dir, "data"),
+                    os.path.join(self._local_root, "data"),
                     format="parquet", partitioning="hive",
                 )
                 flt = (ds.field("kind") == "d") & ds.field("docid").isin(ids)

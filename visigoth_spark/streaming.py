@@ -54,20 +54,20 @@ def foreach_batch_indexer(out_dir: str,
     itself is already committed; a skipped boundary is retried at the
     next one).
     """
+    from visigoth_spark import storage as vstore
+
     manifest = os.path.join(out_dir, "_manifests", "stream_epochs.json")
 
     def _load() -> dict:
-        if os.path.exists(manifest):
-            with open(manifest) as f:
-                return json.load(f)
+        store = vstore.get_store(out_dir)
+        if store.exists(manifest):
+            return store.read_json(manifest)
         return {}
 
     def _save(state: dict) -> None:
-        os.makedirs(os.path.dirname(manifest), exist_ok=True)
-        tmp = manifest + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(state, f)
-        os.replace(tmp, manifest)
+        store = vstore.get_store(out_dir)
+        store.makedirs(os.path.join(out_dir, "_manifests"))
+        store.write_json_atomic(manifest, state, indent=None)
 
     def fn(batch_df: DataFrame, epoch_id: int) -> None:
         state = _load()
@@ -78,7 +78,8 @@ def foreach_batch_indexer(out_dir: str,
             # pin this epoch's allocation durably before any ingest work
             from visigoth_spark.build import _batch_manifests, load_stats
 
-            if os.path.exists(os.path.join(out_dir, "stats.json")):
+            if vstore.get_store(out_dir).exists(
+                    os.path.join(out_dir, "stats.json")):
                 manifests = _batch_manifests(out_dir)
                 stats = load_stats(out_dir)
                 rec = {
