@@ -1229,34 +1229,48 @@ def compact_index(
             if len(pdf) == 0:
                 continue
             terms = pdf["term"].to_numpy(dtype=object)
-            ids_acc, tfs_acc, reps = [], [], []
+            ids_acc, tfs_acc, dls_acc, reps = [], [], [], []
             for blob in pdf["blob"]:
-                d, tf, _dl = decode_segment(bytes(blob))
+                d, tf, dl = decode_segment(bytes(blob))
                 ids_acc.append(d)
                 tfs_acc.append(tf)
+                dls_acc.append(dl)
                 reps.append(len(d))
             yield pd.DataFrame(
                 {
                     "term": np.repeat(terms, reps),
                     "docid_old": np.concatenate(ids_acc),
                     "tf": np.concatenate(tfs_acc),
+                    # doclen rides the blob (decode gives it for free), so
+                    # the remap join below only carries (docid, bucket) —
+                    # a narrower build side and shuffle
+                    "dl": np.concatenate(dls_acc),
                 }
             )
 
     exploded = (
         data.filter(F.col("kind") == "s")
         .select("term", "blob")
-        .mapInPandas(explode_gen, "term string, docid_old long, tf long")
+        .mapInPandas(explode_gen,
+                     "term string, docid_old long, tf long, dl long")
     )
-    joined = exploded.join(
-        map_df.select("docid_old", "docid", "bucket", "doclen"), "docid_old"
-    ).withColumn("chunk", F.floor(F.col("docid") / F.lit(flush_docs)))
+    # the remap side is (docid_old, docid, bucket): ~20 B/doc. Up to a few
+    # million docs that is broadcast territory — hash-joining each posting
+    # row beats sort-merge-joining the (50x larger) exploded postings side,
+    # and the bench's AQE-off sessions would otherwise always pick SMJ.
+    # Past the cutoff (~80 MB broadcast) SMJ is the right plan and scales
+    # to 10^12 docs.
+    remap = map_df.select("docid_old", "docid", "bucket")
+    if n_docs <= 4_000_000:
+        remap = F.broadcast(remap)
+    joined = exploded.join(remap, "docid_old").withColumn(
+        "chunk", F.floor(F.col("docid") / F.lit(flush_docs)))
 
     def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
         t = pdf["term"].to_numpy(dtype=object)
         d = pdf["docid"].to_numpy(np.int64)
         tf = pdf["tf"].to_numpy(np.int64)
-        dl = pdf["doclen"].to_numpy(np.int64)
+        dl = pdf["dl"].to_numpy(np.int64)
         order = np.lexsort((d, t))
         return _seg_frame(t[order], d[order], tf[order], dl[order],
                           int(pdf["bucket"].iloc[0]))
