@@ -192,6 +192,24 @@ class TestUrlTiebreak:
         assert urls == ["zz-a-first", "zz-b-second"]
 
 
+class TestSearchIter:
+    def test_streams_all_results_in_order(self, spark, tmp_path):
+        """search_iter ≙ streams.ReadStream: unbounded result iteration,
+        row order identical to the collected DataFrame."""
+        pdf = generate_corpus(80)
+        out = str(tmp_path / "it")
+        build_index(spark, _df(spark, pdf), out, num_partitions=2)
+        idx = SearchIndex(spark, out)
+        full = [(r["url"], r["score"]) for r in
+                idx.search("curso", "hits", k=None).collect()]
+        assert len(full) > 10
+        streamed = [(r["url"], r["score"])
+                    for r in idx.search_iter("curso", "hits")]
+        assert streamed == full
+        top3 = list(idx.search_iter("curso", "bm25", k=3))
+        assert len(top3) == 3
+
+
 class TestGcSnapshotDetection:
     def test_driver_route_fails_loud_after_gc(self, spark, tmp_path):
         """A SearchIndex constructed BEFORE merge_appends(gc=True) must not

@@ -610,6 +610,21 @@ class SearchIndex:
         out_pd = _retiebreak_on_url(out_pd, engine)
         return self.spark.createDataFrame(out_pd, schema)
 
+    def search_iter(self, query: str, engine: str = "bm25",
+                    k: int | None = None, include_raw: bool = False,
+                    prefetch: bool = True):
+        """Row iterator over results in engine order — ≙ the reference's
+        ``streams.ReadStream`` result streaming (repos_repo.go:20,193,213):
+        consume an unbounded result set without materializing it on the
+        driver. ``k=None`` (default) streams EVERY match via
+        ``toLocalIterator`` (one partition resident at a time;
+        ``prefetch`` overlaps the next partition's fetch with consumption);
+        with ``k`` set it simply iterates the top-k rows."""
+        df = self.search(query, engine, k=k, include_raw=include_raw)
+        if k is not None:
+            return iter(df.collect())
+        return df.toLocalIterator(prefetchPartitions=prefetch)
+
     def search_many(self, queries: list[str], engine: str = "bm25",
                     k: int = 10, include_raw: bool = False,
                     route: str = "auto") -> DataFrame:
