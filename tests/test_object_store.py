@@ -139,6 +139,22 @@ class TestHadoopStoreLifecycle:
         assert cat.drop("web")
         assert cat.list() == []
 
+    def test_remote_termdict_seek(self, spark, tmp_path, corpus_pdf):
+        """_RemoteTermdict (the object-store df seek: footer parsed once,
+        row-group-pruned ranged reads) must return exactly the same dfs as
+        the index's own term_df — driven through the HadoopStore seekable
+        stream, the code path an s3a:// index takes."""
+        from visigoth_spark.query import _RemoteTermdict
+
+        uri = "file://" + str(tmp_path / "td_idx")
+        build_index(spark, _df(spark, corpus_pdf), uri, num_partitions=4)
+        idx = SearchIndex(spark, uri)
+        st = vstore.get_store(uri, spark)
+        rtd = _RemoteTermdict(st, vstore.join(uri, "termdict"))
+        terms = ["curso", "java", "programacion", "zzz-missing"]
+        assert rtd.lookup(terms) == idx.term_df(terms)
+        assert rtd.lookup(["zzz-missing"]) == {"zzz-missing": 0}
+
     def test_resume_on_uri(self, spark, tmp_path, corpus_pdf):
         """Batched build with resume on a URI index: the per-batch
         manifests + _SUCCESS markers round-trip through the store."""

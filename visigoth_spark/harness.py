@@ -496,6 +496,47 @@ def q_bm25_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_object_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OBJECT-STORE production path under driver correctness: the same
+    stemmed build + WAND query as ``vg_bm25_stemmed``, but the index lives
+    at a ``file://`` URI — every control-plane operation (manifest
+    commits, stats, termdict markers, footer sweeps for pruning manifests)
+    routes through storage.HadoopStore, i.e. the Hadoop FileSystem JVM API
+    an ``s3a://`` or ``hdfs://`` index would use. A hash match against the
+    same ingest-path-invariant DuckDB oracle pins the non-POSIX storage
+    code path end-to-end (the POSIX twin is ``vg_bm25_stemmed``)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from visigoth_spark.analysis import AnalyzerConfig
+    from visigoth_spark.build import append_index, build_index
+    from visigoth_spark.query import SearchIndex
+    from visigoth_spark.storage import get_store
+
+    analyzer = AnalyzerConfig(stopwords=frozenset({"the", "a"}), stem=True)
+    key = hashlib.md5(("uri-v1:" + sf_dir).encode()).hexdigest()[:10]
+    out = "file://" + os.path.join(tempfile.gettempdir(),
+                                   "vg_uri_harness", key, "idx")
+    store = get_store(out, spark)
+    if not store.exists(out + "/stats.json"):
+        docs = _docs(spark, sf_dir).select(
+            F.format_string("doc-%012d", F.col("doc_id")).alias("url"),
+            "text", (F.col("doc_id") % 2).alias("slice"),
+        )
+        store.rmtree(out)
+        build_index(spark, docs.filter("slice = 0").drop("slice"), out,
+                    analyzer=analyzer, num_partitions=4)
+        append_index(spark, docs.filter("slice = 1").drop("slice"), out,
+                     analyzer=analyzer, num_partitions=2)
+    idx = SearchIndex(spark, out, analyzer=analyzer)
+    res = idx.search("tables data", engine="bm25", k=10)
+    return res.select(
+        F.expr("cast(substring(url, 5, 12) as bigint)").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
+
+
 STEM_QUERY_STEMS = ("dat", "tabl")  # analyze("tables data") under Snowball-es
 
 
@@ -605,6 +646,9 @@ def get_oracles() -> dict[str, str]:
     # ...and so does the minor-merged index (merge_appends changes file
     # layout only — docids, blobs and scores are untouched)
     d["vg_bm25_merged"] = sql_bm25_stemmed()
+    # ...and the file://-URI index (storage backend changes nothing about
+    # the computed postings/scores; only the control-plane I/O path)
+    d["vg_bm25_object_store"] = sql_bm25_stemmed()
     return d
 
 
@@ -1098,6 +1142,7 @@ QUERIES = {
     "vg_bm25_stemmed": q_bm25_stemmed,
     "vg_bm25_compacted": q_bm25_compacted,
     "vg_bm25_merged": q_bm25_merged,
+    "vg_bm25_object_store": q_bm25_object_store,
     "vg_bm25_or_topk": q_bm25_or_topk,
     "vg_hits_duplicate_tokens": q_hits_duplicate_tokens,
     "vg_missing_term_early_exit": q_missing_term_early_exit,

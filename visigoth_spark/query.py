@@ -65,6 +65,56 @@ ENGINES = frozenset(
 _AND_BM25 = ("bm25", "bm25_wand", "bm25_exhaustive")
 
 
+class _RemoteTermdict:
+    """Row-group-pruned term-dictionary seek over an OBJECT-STORE index.
+    Locally the termdict is read through pyarrow datasets; on s3a/hdfs the
+    fallback was a Spark job per query just to resolve df/idf. This reads
+    each termdict file's footer ONCE through the store's seekable stream
+    (kept open), then per lookup fetches only the 1 MB row groups whose
+    term range covers a query term — a handful of ranged GETs instead of a
+    job. Termdict files are term-range partitioned and term-sorted
+    (build.py), so ranges are tight and ~disjoint."""
+
+    def __init__(self, store, td_dir: str):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        self._files = []  # (ParquetFile, [(min, max)] per row group)
+        for fn in store.listdir(td_dir):
+            if not fn.endswith(".parquet"):
+                continue
+            f = store.open_seekable(vstore.join(td_dir, fn))
+            pf = pq.ParquetFile(pa.PythonFile(f, mode="r"))
+            md = pf.metadata
+            names = [md.schema.column(i).name
+                     for i in range(md.num_columns)]
+            ci = names.index("term")
+            ranges = []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                if st is None or st.min is None or st.max is None:
+                    ranges.append(None)  # no stats: always read
+                else:
+                    ranges.append((st.min, st.max))
+            self._files.append((pf, ranges))
+
+    def lookup(self, terms: list[str]) -> dict[str, int]:
+        out = {t: 0 for t in terms}
+        for pf, ranges in self._files:
+            need = [
+                i for i, r in enumerate(ranges)
+                if r is None or any(r[0] <= t <= r[1] for t in terms)
+            ]
+            for i in need:
+                tbl = pf.read_row_group(i, columns=["term", "df"])
+                tcol = tbl["term"].to_pylist()
+                dcol = tbl["df"].to_pylist()
+                for t, d in zip(tcol, dcol):
+                    if t in out:
+                        out[t] += int(d)
+        return out
+
+
 class _RangePruner:
     """Vectorized file pruning over a [({key}_min, {key}_max, path)] range
     manifest. The naive per-query check is an O(files x keys) Python loop —
@@ -141,6 +191,7 @@ class SearchIndex:
         # exist to dodge job latency on local serving, not to stream an
         # object store through the driver).
         self._local_root = self._store.local_path(index_dir)
+        self._remote_td = None  # lazy _RemoteTermdict for URI indexes
         self.stats = load_stats(index_dir)
         data_root = f"{index_dir}/data"
         # plan from the batch MANIFESTS, not a directory listing: an orphan
@@ -369,6 +420,20 @@ class SearchIndex:
         if not terms:
             return {}
         out = {t: 0 for t in terms}
+        if self._local_root is None:
+            # object-store index: row-group-pruned remote seek (footers
+            # parsed once, cached) — a few ranged GETs instead of a Spark
+            # job per query; errors fall through to the Spark scan
+            try:
+                if self._remote_td is None:
+                    td_uri = vstore.join(self.index_dir, "termdict")
+                    if self._store.isdir(td_uri):
+                        self._remote_td = _RemoteTermdict(
+                            self._store, td_uri)
+                if self._remote_td is not None:
+                    return self._remote_td.lookup(terms)
+            except Exception:
+                self._remote_td = None
         td = (os.path.join(self._local_root, "termdict")
               if self._local_root is not None else "")
         if td and os.path.isdir(td):
