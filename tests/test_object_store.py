@@ -151,9 +151,41 @@ class TestHadoopStoreLifecycle:
         idx = SearchIndex(spark, uri)
         st = vstore.get_store(uri, spark)
         rtd = _RemoteTermdict(st, vstore.join(uri, "termdict"))
-        terms = ["curso", "java", "programacion", "zzz-missing"]
+        # termdict stores ANALYZED terms (default analyzer stems)
+        terms = ["curs", "jav", "program", "zzz-missing"]
         assert rtd.lookup(terms) == idx.term_df(terms)
         assert rtd.lookup(["zzz-missing"]) == {"zzz-missing": 0}
+
+    def test_simulated_remote_serving(self, spark, tmp_path, corpus_pdf,
+                                      monkeypatch):
+        """End-to-end query path of a TRULY remote index (s3a-like):
+        local_path masked to None on a file:// index, so the driver-local
+        pyarrow fast paths are all unavailable — term_df must go through
+        _RemoteTermdict's ranged reads, routing must fall back to the
+        distributed scan, hydration to the Spark point lookup. Results
+        must equal the POSIX-served index exactly."""
+        from visigoth_spark.storage import HadoopStore
+
+        posix = str(tmp_path / "p_idx")
+        uri = "file://" + str(tmp_path / "r_idx")
+        for out in (posix, uri):
+            build_index(spark, _df(spark, corpus_pdf.iloc[:120]), out,
+                        num_partitions=2)
+            append_index(spark, _df(spark, corpus_pdf.iloc[120:]), out,
+                         num_partitions=1)
+        monkeypatch.setattr(HadoopStore, "local_path",
+                            lambda self, path: None)
+        idx_r = SearchIndex(spark, uri)
+        assert idx_r._local_root is None
+        expected = _results(SearchIndex(spark, posix))
+        assert _results(idx_r) == expected
+        # term_df resolved via the remote seek (no local termdict read)
+        assert idx_r._remote_td is not None
+        dfs = idx_r.term_df(["curs", "zzz-missing"])  # analyzed terms
+        assert dfs["curs"] > 0 and dfs["zzz-missing"] == 0
+        # batched path too
+        rows = idx_r.search_many(["curso", "java"], "bm25", k=5).collect()
+        assert len(rows) > 0
 
     def test_resume_on_uri(self, spark, tmp_path, corpus_pdf):
         """Batched build with resume on a URI index: the per-batch
