@@ -3,8 +3,10 @@ index_memory_index.go:44-60) and Structured Streaming indexing."""
 
 from __future__ import annotations
 
+import json
 import os
 
+import pandas as pd
 import pytest
 
 from visigoth_spark.build import append_index, build_index, load_stats
@@ -176,3 +178,106 @@ class TestStreamAutoMerge:
         fn(_df(spark, pdf.iloc[0:50]), 1)
         assert load_stats(out)["n_docs"] == 250
         assert [m["batch"] for m in _visible_batches(out)] == vis
+
+
+class TestIncrementalTermdict:
+    """append_index refreshes the term dictionary INCREMENTALLY (old
+    termdict UNION the new batch's aggregate — O(vocabulary), not
+    O(total segments) per append); the covers key in the termdict manifest
+    gates correctness: mismatch -> full recompute, replay -> skip."""
+
+    @staticmethod
+    def _td(spark, idx_dir):
+        import pandas as pd
+
+        pdf = (spark.read.parquet(os.path.join(idx_dir, "termdict"))
+               .toPandas().sort_values("term").reset_index(drop=True))
+        return pdf[["term", "df", "sum_tf"]].astype(
+            {"df": "int64", "sum_tf": "int64"})
+
+    @staticmethod
+    def _td_manifest(idx_dir):
+        with open(os.path.join(idx_dir, "_manifests",
+                               "termdict.json")) as f:
+            return json.load(f)
+
+    def test_incremental_equals_one_shot(self, spark, tmp_path):
+        pdf = generate_corpus(200)
+        inc = str(tmp_path / "inc")
+        one = str(tmp_path / "one")
+        build_index(spark, _df(spark, pdf.iloc[:100]), inc,
+                    num_partitions=2)
+        append_index(spark, _df(spark, pdf.iloc[100:150]), inc,
+                     num_partitions=1)
+        assert self._td_manifest(inc)["mode"] == "incremental"
+        append_index(spark, _df(spark, pdf.iloc[150:]), inc,
+                     num_partitions=1)
+        assert self._td_manifest(inc)["mode"] == "incremental"
+        build_index(spark, _df(spark, pdf), one, num_partitions=2)
+        assert self._td(spark, inc).equals(self._td(spark, one))
+
+    def test_covers_mismatch_falls_back_to_full(self, spark, tmp_path):
+        pdf = generate_corpus(120)
+        out = str(tmp_path / "fb")
+        build_index(spark, _df(spark, pdf.iloc[:80]), out,
+                    num_partitions=2)
+        # corrupt the covers key: the next append must NOT trust the
+        # on-disk termdict
+        mp = os.path.join(out, "_manifests", "termdict.json")
+        with open(mp) as f:
+            m = json.load(f)
+        m["covers_md5"] = "bogus"
+        with open(mp, "w") as f:
+            json.dump(m, f)
+        append_index(spark, _df(spark, pdf.iloc[80:]), out,
+                     num_partitions=1)
+        assert self._td_manifest(out)["mode"] == "full"
+        one = str(tmp_path / "fb_one")
+        build_index(spark, _df(spark, pdf), one, num_partitions=2)
+        assert self._td(spark, out).equals(self._td(spark, one))
+
+    def test_replay_does_not_double_count(self, spark, tmp_path):
+        pdf = generate_corpus(120)
+        out = str(tmp_path / "rp")
+        build_index(spark, _df(spark, pdf.iloc[:80]), out,
+                    num_partitions=2)
+        from visigoth_spark.build import _batch_manifests
+
+        bid = 1 + max(m["batch"] for m in _batch_manifests(out))
+        base = load_stats(out)["n_docs"]
+        nb = load_stats(out)["n_buckets"]
+        kw = dict(num_partitions=1, batch_id=bid, base_docid=base,
+                  bucket_base=nb)
+        append_index(spark, _df(spark, pdf.iloc[80:]), out, **kw)
+        td1 = self._td(spark, out)
+        # crash replay: same pinned allocation. The covers set already
+        # contains this batch id, and batch-id equality does NOT prove
+        # content equality (an orphan id can be reclaimed with different
+        # data — test_orphan_batch_is_overwritten), so the replay pays a
+        # FULL recompute; either way the counts never double.
+        append_index(spark, _df(spark, pdf.iloc[80:]), out, **kw)
+        assert self._td_manifest(out)["mode"] == "full"
+        assert self._td(spark, out).equals(td1)  # not double-counted
+
+    def test_merge_repoints_covers(self, spark, tmp_path):
+        from visigoth_spark.build import merge_appends
+
+        pdf = generate_corpus(200)
+        out = str(tmp_path / "mg")
+        build_index(spark, _df(spark, pdf.iloc[:100]), out,
+                    num_partitions=2)
+        for lo, hi in ((100, 150), (150, 200)):
+            append_index(spark, _df(spark, pdf.iloc[lo:hi]), out,
+                         num_partitions=1)
+        merge_appends(spark, out, num_partitions=2)
+        # merge re-pointed covers at the post-merge batch set, so the next
+        # append stays on the incremental path...
+        extra = generate_corpus(40, seed=7)
+        extra["url"] = "x-" + extra["url"]
+        append_index(spark, _df(spark, extra), out, num_partitions=1)
+        assert self._td_manifest(out)["mode"] == "incremental"
+        # ...and the values still match a one-shot build over everything
+        one = str(tmp_path / "mg_one")
+        both = pd.concat([pdf, extra], ignore_index=True)
+        build_index(spark, _df(spark, both), one, num_partitions=2)
+        assert self._td(spark, out).equals(self._td(spark, one))

@@ -161,6 +161,17 @@ def _locked(op: str, dir_arg: int):
     return deco
 
 
+def _covers_key(batches: list[int]) -> str:
+    """Digest of a visible-batch set — recorded in the termdict manifest so
+    append_index can prove the on-disk termdict covers exactly the batches
+    it is about to extend (incremental merge) or already covers the
+    post-append set (crash replay), and fall back to a full recompute on
+    any mismatch."""
+    import hashlib
+
+    return hashlib.md5(json.dumps(sorted(batches)).encode()).hexdigest()
+
+
 def _input_file_size(f: str, spark) -> int:
     """Size of one DataFrame.inputFiles() entry. Spark reports these as
     URIs — 'file:/x' (single slash) for local files; other schemes go
@@ -543,7 +554,10 @@ def build_index(
                 .option("parquet.block.size", str(1 << 20))
                 .parquet(td_path)
             )
+            vis_now = [m["batch"] for m in _visible_batches(out_dir)]
             _write_manifest(td_manifest, kind="termdict",
+                            covers_md5=_covers_key(vis_now),
+                            covers_n=len(vis_now),
                             wall_sec=time.time() - tmark[0])
             tick("termdict", tmark)
 
@@ -796,30 +810,83 @@ def append_index(
             wall_sec=time.time() - t0,
         )
 
-        # refresh the term dictionary (global df/sum_tf changed). Fold only
-        # VISIBLE batches: an orphan dir from a crashed append, or a batch
-        # already subsumed by a merge whose GC didn't finish, must not
-        # inflate global df.
+        # refresh the term dictionary (global df/sum_tf changed).
+        # INCREMENTAL by default: merge the existing termdict (V terms —
+        # bounded by vocabulary) with ONLY the new batch's aggregate,
+        # instead of re-aggregating every visible batch's segment metadata
+        # (O(total segments) — at 10^12 docs that is billions of metadata
+        # rows scanned per small append). The termdict manifest records the
+        # md5 of the batch set it covers; the incremental merge runs ONLY
+        # when that set provably EXCLUDES this batch id. Everything else —
+        # an older crash, manual surgery, a pre-covers manifest, or a
+        # covers set that already contains this batch id (a crash replay OR
+        # an orphan batch id being reclaimed with DIFFERENT data — batch-id
+        # equality does not prove content equality) — pays the full
+        # recompute, which is always correct.
         data_root = os.path.join(out_dir, "data")
         td_path = os.path.join(out_dir, "termdict")
         visible = [m["batch"] for m in _visible_batches(out_dir)]
-        seg_all = (
-            spark.read.option("basePath", data_root).parquet(data_root)
-            .filter(F.col("kind") == "s")
-            .filter(F.col("batch").isin(visible))
-        )
         n_td = max(1, min(32, (bucket_base + P) // 4))
-        (
-            seg_all.groupBy("term")
-            .agg(F.sum("df_seg").alias("df"), F.sum("sum_tf").alias("sum_tf"))
-            .repartitionByRange(n_td, "term")
-            .sortWithinPartitions("term")
-            .write.mode("overwrite")
-            .option("parquet.block.size", str(1 << 20))
-            .parquet(td_path)
-        )
-        _write_manifest(os.path.join(manifest_dir, "termdict.json"),
-                        kind="termdict", wall_sec=time.time() - t0)
+        td_man_path = os.path.join(manifest_dir, "termdict.json")
+        td_covers = None
+        if store.exists(td_man_path):
+            td_covers = store.read_json(td_man_path).get("covers_md5")
+        post_key = _covers_key(visible)
+        pre_key = _covers_key([b for b in visible if b != batch_id])
+        if td_covers == pre_key and store.exists(td_path):
+            td_mode = "incremental"
+            # incremental: old termdict UNION new batch's aggregate
+            batch_agg = (
+                spark.read.parquet(batch_path)
+                .filter(F.col("kind") == "s")
+                .select("term", F.col("df_seg").cast("long").alias("df"),
+                        "sum_tf")
+            )
+            old_td = spark.read.parquet(td_path)
+            merged = (
+                old_td.select("term", "df", "sum_tf")
+                .unionByName(batch_agg)
+                .groupBy("term")
+                .agg(F.sum("df").alias("df"),
+                     F.sum("sum_tf").alias("sum_tf"))
+            )
+            # old termdict is an INPUT: stage to a tmp dir, then swap
+            # (Spark cannot overwrite a path it is reading). In the
+            # swap window the termdict is absent, which term_df treats
+            # as "no fast path", never as df=0.
+            tmp_td = os.path.join(out_dir, "_termdict_tmp")
+            store.rmtree(tmp_td)
+            (
+                merged.repartitionByRange(n_td, "term")
+                .sortWithinPartitions("term")
+                .write.mode("overwrite")
+                .option("parquet.block.size", str(1 << 20))
+                .parquet(tmp_td)
+            )
+            store.rmtree(td_path)
+            store.rename(tmp_td, td_path)
+        else:
+            td_mode = "full"
+            # fallback: full recompute over the visible batches
+            seg_all = (
+                spark.read.option("basePath", data_root)
+                .parquet(data_root)
+                .filter(F.col("kind") == "s")
+                .filter(F.col("batch").isin(visible))
+            )
+            (
+                seg_all.groupBy("term")
+                .agg(F.sum("df_seg").alias("df"),
+                     F.sum("sum_tf").alias("sum_tf"))
+                .repartitionByRange(n_td, "term")
+                .sortWithinPartitions("term")
+                .write.mode("overwrite")
+                .option("parquet.block.size", str(1 << 20))
+                .parquet(td_path)
+            )
+        _write_manifest(td_man_path, kind="termdict", mode=td_mode,
+                        covers_md5=post_key, covers_n=len(visible),
+                        wall_sec=time.time() - t0)
 
         # stats: RECOMPUTED from the VISIBLE committed manifests (idempotent
         # under replay — a re-run of the same pinned batch converges, never
@@ -912,6 +979,7 @@ def merge_appends(
     store = vstore.get_store(index_dir, spark)
     stats = load_stats(index_dir)
     manifest_dir = os.path.join(index_dir, "_manifests")
+    pre_visible = [m["batch"] for m in _visible_batches(index_dir)]
     to_merge = [m for m in _visible_batches(index_dir)
                 if m.get("appended") or m.get("merged")]
     if len(to_merge) < min_batches:
@@ -1010,6 +1078,19 @@ def merge_appends(
         [os.path.join(data_root, f"batch={m['batch']}", "kind=d")
          for m in vis_after],
     )
+    # the merge moved postings between batches without changing a single
+    # (term, df, sum_tf) — the termdict VALUES stay valid, but its covers
+    # key must be re-pointed at the post-merge batch set, or the next
+    # append would see a mismatch and pay a full recompute. Only re-point
+    # a termdict that provably covered the pre-merge set.
+    td_man_path = os.path.join(manifest_dir, "termdict.json")
+    if store.exists(td_man_path):
+        td_man = store.read_json(td_man_path)
+        if td_man.get("covers_md5") == _covers_key(pre_visible):
+            vis_ids = [m["batch"] for m in vis_after]
+            td_man["covers_md5"] = _covers_key(vis_ids)
+            td_man["covers_n"] = len(vis_ids)
+            store.write_json_atomic(td_man_path, td_man)
     # stats: recomputed from the visible manifests (same rule as append)
     stats["n_docs"] = max(m.get("docid_range", [0, 0])[1]
                           for m in vis_after)
@@ -1310,9 +1391,10 @@ def compact_index(
     os.makedirs(manifest_dir, exist_ok=True)
     # termdict completeness marker (matches build_index/append_index):
     # without it, a later resumed build's completeness check would rebuild
-    # the termdict unnecessarily
+    # the termdict unnecessarily. The compacted layout is one batch 0.
     _write_manifest(os.path.join(manifest_dir, "termdict.json"),
-                    kind="termdict", wall_sec=time.time() - t0)
+                    kind="termdict", covers_md5=_covers_key([0]),
+                    covers_n=1, wall_sec=time.time() - t0)
     pids = sorted(offsets)
     part_sizes = [offsets[p + 1] - offsets[p] for p in pids[:-1]]
     part_sizes.append(n_docs - offsets[pids[-1]])
