@@ -528,11 +528,13 @@ def main() -> None:
     n_app = max(1_000, n_docs // 20)
     extra = generate_corpus(2 * n_app, seed=1042)
     extra["url"] = "m-" + extra["url"]
+    t_app = time.time()
     for half in (extra.iloc[:n_app], extra.iloc[n_app:]):
         append_index(
             spark, spark.createDataFrame(half[["url", "text", "lang"]]),
             idx_m, num_partitions=cores_hi,
         )
+    append_wall = time.time() - t_app
     queries_pre = _suite_best2(SearchIndex(spark, idx_m))
     t0 = time.time()
     merge_appends(spark, idx_m, num_partitions=cores_hi * 2)
@@ -541,11 +543,32 @@ def main() -> None:
     merge_info = {
         "wall": round(merge_wall, 2),
         "appended_docs": 2 * n_app,
+        "append_wall": round(append_wall, 2),
+        "append_docs_per_sec": round(2 * n_app / append_wall, 1),
         "bm25_p50_appended": _bm25_p50(queries_pre),
         "bm25_p50_merged": _bm25_p50(queries_m),
         "queries": queries_m,
     }
     shutil.rmtree(idx_m, ignore_errors=True)
+
+    # --- object-store control plane (HadoopStore via file://) ----------------
+    # same build through the non-POSIX storage path (manifest commits,
+    # footer sweeps, stats through the Hadoop FileSystem JVM API): the delta
+    # vs the POSIX build above is the control-plane overhead an hdfs:// or
+    # s3a:// index pays on top of its data-plane I/O
+    tmp_uri = tempfile.mkdtemp(prefix="vg_bench_uri_", dir="/dev/shm")
+    t0 = time.time()
+    from visigoth_spark.build import build_index as _bi
+
+    _bi(spark, spark.read.parquet(corpus_path),
+        "file://" + os.path.join(tmp_uri, "idx"),
+        num_partitions=cores_hi * 2, assume_sorted=True)
+    uri_build_wall = time.time() - t0
+    storage_info = {
+        "uri_build_docs_per_sec": round(n_docs / uri_build_wall, 1),
+        "scheme": "file:// via HadoopStore (JVM FileSystem control plane)",
+    }
+    shutil.rmtree(tmp_uri, ignore_errors=True)
 
     # --- compaction (force-merge) at bench scale -----------------------------
     # timed rewrite of the full index (decode -> url-order docid remap ->
@@ -641,6 +664,7 @@ def main() -> None:
         "merge": merge_info,
         "compact": compact_info,
         "resume": resume_info,
+        "storage": storage_info,
         "index": index_info,
     }
     write_bench_md(result)
@@ -674,6 +698,7 @@ pairs in the JSON. Details + host-noise evidence: BASELINE.md.
 | batched query throughput | {r['batch']['qps']} q/s | search_many: {r['batch']['queries']} queries in ONE job ({r['batch']['wall']} s), best of 2 |
 | posting blob bytes/posting | {r['index']['bytes_per_posting']} | delta+varbyte incl. tf+doclen streams |
 | index blob / corpus bytes | {r['index']['blob_to_corpus_ratio']} | {r['index']['bytes_blob']} / {r['index']['corpus_bytes']} |
+| incremental append throughput | {r['merge'].get('append_docs_per_sec', '-')} docs/s | 2 appends of {r['merge']['appended_docs']} docs total incl. the O(vocabulary) incremental termdict merge |
 | minor merge (merge_appends) wall | {r['merge']['wall']} s | file-layout-only tier merge of 2 appended batches ({r['merge']['appended_docs']} docs), local[{b['cores_hi']}] |
 | BM25 p50: appended (pre-merge) vs merged | {r['merge']['bm25_p50_appended']} s -> {r['merge']['bm25_p50_merged']} s | same index, best of 2 passes each |
 | compaction (force-merge) wall | {r['compact']['wall']} s | full rewrite: decode -> url-order remap -> re-encode, local[{b['cores_hi']}] |
@@ -682,6 +707,7 @@ pairs in the JSON. Details + host-noise evidence: BASELINE.md.
 | batched (8-checkpoint) cold build wall | {r['resume']['cold_batched_wall']} s | n_batches=8, local[{b['cores_hi']}] |
 | kill+resume: resumed-build wall | {r['resume']['resume_wall']} s | SIGKILL at {r['resume']['killed_after_sec']} s ({r['resume']['batches_committed_at_kill']}/8 batches committed); resume completes only the rest |
 | resumed ≡ cold segments | {r['resume']['segments_identical_to_cold']} | content digest over every posting segment row |
+| object-store-path build throughput | {r.get('storage', {}).get('uri_build_docs_per_sec', '-')} docs/s | {r.get('storage', {}).get('scheme', '')}; delta vs the POSIX build is the control-plane overhead |
 
 Per-query latencies (sec): {json.dumps(r['queries'], indent=0)}
 """
