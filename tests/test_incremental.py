@@ -259,6 +259,29 @@ class TestIncrementalTermdict:
         assert self._td_manifest(out)["mode"] == "full"
         assert self._td(spark, out).equals(td1)  # not double-counted
 
+    def test_random_append_splits_equal_one_shot(self, spark, tmp_path):
+        """Property over a random ingest schedule: ANY sequence of appends
+        (uneven sizes, interleaved content) produces a termdict identical
+        to the one-shot build over the union — every append after the
+        first staying on the incremental path."""
+        import numpy as np
+
+        rng = np.random.RandomState(11)
+        pdf = generate_corpus(240)
+        cuts = np.sort(rng.choice(np.arange(20, 220), size=4,
+                                  replace=False))
+        bounds = [0, *cuts.tolist(), 240]
+        out = str(tmp_path / "rnd")
+        build_index(spark, _df(spark, pdf.iloc[:bounds[1]]), out,
+                    num_partitions=2)
+        for lo, hi in zip(bounds[1:], bounds[2:]):
+            append_index(spark, _df(spark, pdf.iloc[lo:hi]), out,
+                         num_partitions=1)
+            assert self._td_manifest(out)["mode"] == "incremental"
+        one = str(tmp_path / "rnd_one")
+        build_index(spark, _df(spark, pdf), one, num_partitions=2)
+        assert self._td(spark, out).equals(self._td(spark, one))
+
     def test_merge_repoints_covers(self, spark, tmp_path):
         from visigoth_spark.build import merge_appends
 
