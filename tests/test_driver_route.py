@@ -100,30 +100,49 @@ def test_driver_route_matches_oracle_scores(spark, layouts):
         assert a == pytest.approx(b, abs=1e-12)
 
 
+class _JobCounter:
+    """Count Spark jobs run inside a scoped job group. The default
+    statusTracker counters saturate at spark.ui.retainedJobs (1000) in a
+    long shared test session, making before/after deltas on the global
+    list flaky — a fresh group's count starts at 0 and new jobs are always
+    retained (eviction drops the oldest)."""
+
+    def __init__(self, sc, group: str):
+        self.sc, self.group = sc, group
+
+    def __enter__(self):
+        self.sc.setJobGroup(self.group, "job-count probe")
+        return self
+
+    def __exit__(self, *exc):
+        self.sc.setLocalProperty("spark.jobGroup.id", None)
+
+    def count(self) -> int:
+        ids = self.sc.statusTracker().getJobIdsForGroup(self.group)
+        return len(ids or [])
+
+
 def test_auto_routes_small_queries_driver_side(spark, layouts):
     """Below the threshold, auto serves the query without launching any
-    Spark job (assert via the SparkContext job-group-free job counter:
-    statusTracker jobs before == after)."""
+    Spark job (group-scoped job counter stays at 0)."""
     idx = SearchIndex(spark, layouts["compacted"])
-    tracker = spark.sparkContext.statusTracker()
-    before = len(tracker.getJobIdsForGroup(None) or [])
-    df = idx.search("programación java", "bm25", 10)  # route="auto"
-    rows = df.collect()  # createDataFrame(local rows) -> still no job
-    assert rows
-    after = len(tracker.getJobIdsForGroup(None) or [])
-    assert after == before, "auto route below threshold must not run a job"
+    with _JobCounter(spark.sparkContext, "vg-route-small") as jc:
+        df = idx.search("programación java", "bm25", 10)  # route="auto"
+        rows = df.collect()  # createDataFrame(local rows) -> still no job
+        assert rows
+        assert jc.count() == 0, \
+            "auto route below threshold must not run a job"
 
 
 def test_auto_respects_byte_threshold(spark, layouts):
     """With a 0-byte threshold every query exceeds the estimate and auto
     must take the distributed path (observable: a Spark job runs)."""
     idx = SearchIndex(spark, layouts["build"], driver_local_max_bytes=0)
-    tracker = spark.sparkContext.statusTracker()
-    before = len(tracker.getJobIdsForGroup(None) or [])
-    rows = idx.search("programación java", "bm25", 10).collect()
-    assert rows
-    after = len(tracker.getJobIdsForGroup(None) or [])
-    assert after > before, "auto route above threshold must go distributed"
+    with _JobCounter(spark.sparkContext, "vg-route-bytes") as jc:
+        rows = idx.search("programación java", "bm25", 10).collect()
+        assert rows
+        assert jc.count() > 0, \
+            "auto route above threshold must go distributed"
 
 
 def test_search_many_driver_route_identical(spark, layouts):
