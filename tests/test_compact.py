@@ -328,26 +328,48 @@ class TestFileLevelTermPruning:
         assert idx._seg_scan(["ÿÿÿÿ"]) is None
         assert idx.search("ÿÿÿÿ", "hits", k=10).count() == 0
 
-    def test_append_invalidates_manifest(self, spark, tmp_path):
+    def test_append_maintains_manifest(self, spark, tmp_path):
+        """An append EXTENDS the file-range manifest with its own batch's
+        file ranges (it used to delete it, costing file-level pruning
+        until the next merge/compact): the appended doc's never-seen term
+        must be findable through the maintained manifest, and the old
+        batches keep their tight pruning entries."""
+        import json
+
         import pandas as pd
 
         pdf, slices = _interleaved_slices(60, 2)
         out = _appended_index(spark, tmp_path, "fp3", slices)
         compact_index(spark, out, num_partitions=2)
-        assert os.path.exists(
-            os.path.join(out, "_manifests", "segfiles.json"))
+        mpath = os.path.join(out, "_manifests", "segfiles.json")
+        with open(mpath) as f:
+            before = json.load(f)["files"]
         extra = pd.DataFrame({
             "url": ["zz-new-doc"],
             "text": ["palabrarara inventada"],
             "lang": ["es"],
         })
         append_index(spark, _df(spark, extra), out, num_partitions=1)
-        assert not os.path.exists(
-            os.path.join(out, "_manifests", "segfiles.json"))
+        assert os.path.exists(mpath)
+        with open(mpath) as f:
+            after = json.load(f)["files"]
+        new_entries = [e for e in after
+                       if e["path"].startswith("data/batch=1/")]
+        assert len(after) == len(before) + len(new_entries) > len(before)
         idx = SearchIndex(spark, out)
+        assert idx._segfiles is not None  # pruning still live
         got = [r["url"] for r in
                idx.search("palabrarara", "bm25", k=5).collect()]
         assert got == ["zz-new-doc"]
+        # the correctness-critical direction: the appended batch's files
+        # are ADMITTED for its own (stemmed) term (compacted batch-0 files
+        # may legitimately also be admitted — their lexicographic ranges
+        # tile the whole vocabulary)
+        from visigoth_spark.analysis import analyze_text
+
+        stem = analyze_text("palabrarara", idx.analyzer)[0]
+        pruned = idx._seg_prune.prune([stem])
+        assert any(p.startswith("data/batch=1/") for p in pruned)
 
     def test_search_many_pruned_parity(self, spark, tmp_path):
         pdf, slices = _interleaved_slices(90, 3)
@@ -392,21 +414,101 @@ class TestDocfilesHydrationPruning:
         for d, (u, raw) in fast.items():
             assert raw == urls[u]
 
-    def test_append_invalidates_docfiles(self, spark, tmp_path):
+    def test_append_maintains_docfiles(self, spark, tmp_path):
+        """Appends now EXTEND docfiles.json with their own batch's docid
+        ranges (they used to delete it): hydration of an appended docid
+        must work through the maintained manifest."""
+        import json
+
         import pandas as pd
 
         pdf, slices = _interleaved_slices(60, 2)
         out = _appended_index(spark, tmp_path, "df2", slices)
         compact_index(spark, out, num_partitions=2)
-        assert os.path.exists(
-            os.path.join(out, "_manifests", "docfiles.json"))
+        mpath = os.path.join(out, "_manifests", "docfiles.json")
+        assert os.path.exists(mpath)
         extra = pd.DataFrame({
             "url": ["zz-df-new"], "text": ["palabrota nueva"],
             "lang": ["es"],
         })
         append_index(spark, _df(spark, extra), out, num_partitions=1)
-        assert not os.path.exists(
-            os.path.join(out, "_manifests", "docfiles.json"))
+        assert os.path.exists(mpath)
+        with open(mpath) as f:
+            files = json.load(f)["files"]
+        assert any(e["path"].startswith("data/batch=1/") for e in files)
         idx = SearchIndex(spark, out)
+        assert idx._docfiles is not None
+        # docid 60 = the appended doc; admitted by the maintained ranges
+        pruned = idx._doc_prune.prune([60])
+        assert any(p.startswith("data/batch=1/") for p in pruned)
         got = idx._docmap_for([60])
         assert got[60][0] == "zz-df-new"
+
+
+class TestManifestSupersetVisibility:
+    """The file-range manifests are maintained as a SUPERSET of the visible
+    files (extended before each op's commit point); batch-visibility
+    filtering at index open is what keeps that safe across crashes."""
+
+    def test_orphan_batch_entries_are_filtered(self, spark, tmp_path):
+        """Crash after the segfiles extension but before the batch commit:
+        the manifest carries entries for an invisible batch. A reader must
+        neither plan those files nor surface the orphan's docs."""
+        import json
+
+        import pandas as pd
+
+        pdf, slices = _interleaved_slices(60, 2)
+        out = _appended_index(spark, tmp_path, "sv1", slices)
+        compact_index(spark, out, num_partitions=2)
+        extra = pd.DataFrame({
+            "url": ["zz-orphan"], "text": ["fantasma palabra"],
+            "lang": ["es"],
+        })
+        append_index(spark, _df(spark, extra), out, num_partitions=1)
+        # simulate the crash: batch manifest gone, segfiles extension kept
+        os.remove(os.path.join(out, "_manifests", "batch_1.json"))
+        with open(os.path.join(out, "_manifests", "segfiles.json")) as f:
+            raw = json.load(f)["files"]
+        assert any(e["path"].startswith("data/batch=1/") for e in raw)
+        idx = SearchIndex(spark, out)
+        # visibility filter dropped the orphan's entries...
+        assert all(not e["path"].startswith("data/batch=1/")
+                   for e in idx._segfiles)
+        assert all(not e["path"].startswith("data/batch=1/")
+                   for e in idx._docfiles)
+        # ...so the orphan doc is invisible and other queries still work
+        assert idx.search("fantasma", "bm25", k=5).count() == 0
+        assert idx.search("curso", "bm25", k=5).count() > 0
+
+    def test_replayed_append_replaces_entries(self, spark, tmp_path):
+        """A replayed append (pinned batch id) rewrites its batch dir with
+        fresh file names; the manifest extension must REPLACE the batch's
+        old entries — every planned path must exist on disk."""
+        import json
+
+        import pandas as pd
+
+        pdf, slices = _interleaved_slices(60, 2)
+        out = _appended_index(spark, tmp_path, "sv2", slices)
+        compact_index(spark, out, num_partitions=2)
+        extra = pd.DataFrame({
+            "url": ["zz-replay"], "text": ["replay documento unico"],
+            "lang": ["es"],
+        })
+        kw = dict(num_partitions=1, batch_id=1, base_docid=60,
+                  bucket_base=load_stats(out)["n_buckets"])
+        append_index(spark, _df(spark, extra), out, **kw)
+        append_index(spark, _df(spark, extra), out, **kw)  # replay
+        with open(os.path.join(out, "_manifests", "segfiles.json")) as f:
+            files = json.load(f)["files"]
+        b1 = [e["path"] for e in files
+              if e["path"].startswith("data/batch=1/")]
+        assert b1, "replayed batch entries present"
+        for p in b1:
+            assert os.path.exists(os.path.join(out, p)), p
+        idx = SearchIndex(spark, out)
+        got = [r["url"] for r in
+               idx.search("replay", "bm25", k=5).collect()]
+        assert got == ["zz-replay"]
+        assert load_stats(out)["n_docs"] == 61

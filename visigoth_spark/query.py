@@ -65,6 +65,30 @@ ENGINES = frozenset(
 _AND_BM25 = ("bm25", "bm25_wand", "bm25_exhaustive")
 
 
+def _filter_entries_visible(entries: list[dict],
+                            batches: list[int]) -> list[dict]:
+    """Keep only file-range manifest entries belonging to VISIBLE batches.
+    The manifests are maintained as a SUPERSET of the visible files
+    (append/merge extend them before their commit point — see
+    build._extend_file_manifests), so entries for an orphan batch (crashed
+    append) or a merge-replaced batch can linger; batch visibility decides
+    what the planner may touch. Entries with an unrecognized path shape
+    are kept (can't exclude what can't be attributed). With no batch
+    manifests at all (legacy dir-listing index), entries pass through."""
+    if not batches:
+        return entries
+    vis = {f"data/batch={b}/" for b in batches}
+    out = []
+    for e in entries:
+        p = e["path"]
+        if p.startswith("data/batch="):
+            head = p.split("/", 2)
+            if f"{head[0]}/{head[1]}/" not in vis:
+                continue
+        out.append(e)
+    return out
+
+
 class _RemoteTermdict:
     """Row-group-pruned term-dictionary seek over an OBJECT-STORE index.
     Locally the termdict is read through pyarrow datasets; on s3a/hdfs the
@@ -225,8 +249,10 @@ class SearchIndex:
             ["raw"] if self.has_raw else []
         )
         self._docmap = data.filter(F.col("kind") == "d").select(*doc_cols)
-        # file-level term-range manifest (written by build.compact_index,
-        # invalidated by append_index): lets the query plan enumerate ONLY
+        # file-level term-range manifest (created by compact_index /
+        # merge_appends, MAINTAINED by append_index — each append extends
+        # it with just its own batch's file ranges): lets the query plan
+        # enumerate ONLY
         # the segment files whose term range covers a query term — the
         # Lucene term-dictionary -> segment-seek analogue at file level.
         # Catalyst's row-group pruning still evaluates inside a task per
@@ -238,13 +264,15 @@ class SearchIndex:
 
         sf_path = os.path.join(index_dir, "_manifests", "segfiles.json")
         if self._store.exists(sf_path):
-            self._segfiles = self._store.read_json(sf_path)["files"]
+            self._segfiles = _filter_entries_visible(
+                self._store.read_json(sf_path)["files"], self._batches)
         # the docid analogue for hydration: per-docmap-file docid ranges,
         # so _docmap_for opens ~1 file per result id instead of sweeping
         # every docmap footer
         df_path = os.path.join(index_dir, "_manifests", "docfiles.json")
         if self._store.exists(df_path):
-            self._docfiles = self._store.read_json(df_path)["files"]
+            self._docfiles = _filter_entries_visible(
+                self._store.read_json(df_path)["files"], self._batches)
         self._seg_prune = _RangePruner(self._segfiles, "term")
         self._doc_prune = _RangePruner(self._docfiles, "docid")
 
