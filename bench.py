@@ -498,59 +498,6 @@ def main() -> None:
         batch_wall = min(batch_wall, time.time() - t0)
     batch_qps = len(batch_qs) / batch_wall
 
-    # --- tiered minor merge (merge_appends) at bench scale -------------------
-    # copy the warm index, append two 5% slices of fresh docs (the L0 state a
-    # streaming ingest accumulates), run the bm25 suite on the fragmented
-    # index, time the file-layout-only merge, run the suite again on the
-    # merged tier. The compaction block below uses the UNTOUCHED original so
-    # its numbers stay comparable round over round.
-    from visigoth_spark.build import append_index, merge_appends
-    from visigoth_spark.corpus import generate_corpus
-
-    def _suite_best2(ix) -> dict[str, float]:
-        ix.search("programación", "bm25", 10).collect()  # warm
-        out: dict[str, float] = {}
-        for _pass in range(2):
-            for name, q, engine in QUERY_SUITE:
-                t0 = time.time()
-                ix.search(q, engine, 10).collect()
-                dt = round(time.time() - t0, 4)
-                if name not in out or dt < out[name]:
-                    out[name] = dt
-        return out
-
-    def _bm25_p50(qs: dict[str, float]) -> float:
-        return round(statistics.median(
-            [qs[n] for n, _, e in QUERY_SUITE if e == "bm25"]), 4)
-
-    idx_m = os.path.join(tmp_hi, "idx_merge")
-    shutil.copytree(idx_hi, idx_m)
-    n_app = max(1_000, n_docs // 20)
-    extra = generate_corpus(2 * n_app, seed=1042)
-    extra["url"] = "m-" + extra["url"]
-    t_app = time.time()
-    for half in (extra.iloc[:n_app], extra.iloc[n_app:]):
-        append_index(
-            spark, spark.createDataFrame(half[["url", "text", "lang"]]),
-            idx_m, num_partitions=cores_hi,
-        )
-    append_wall = time.time() - t_app
-    queries_pre = _suite_best2(SearchIndex(spark, idx_m))
-    t0 = time.time()
-    merge_appends(spark, idx_m, num_partitions=cores_hi * 2)
-    merge_wall = time.time() - t0
-    queries_m = _suite_best2(SearchIndex(spark, idx_m))
-    merge_info = {
-        "wall": round(merge_wall, 2),
-        "appended_docs": 2 * n_app,
-        "append_wall": round(append_wall, 2),
-        "append_docs_per_sec": round(2 * n_app / append_wall, 1),
-        "bm25_p50_appended": _bm25_p50(queries_pre),
-        "bm25_p50_merged": _bm25_p50(queries_m),
-        "queries": queries_m,
-    }
-    shutil.rmtree(idx_m, ignore_errors=True)
-
     # --- object-store control plane (HadoopStore via file://) ----------------
     # same build through the non-POSIX storage path (manifest commits,
     # footer sweeps, stats through the Hadoop FileSystem JVM API): the delta
@@ -619,6 +566,59 @@ def main() -> None:
         "queries": queries_c,
         "bm25_p50": round(statistics.median(bm25_lat_c), 4),
     }
+
+    # --- incremental maintenance (append -> merge) at bench scale -----------
+    # the steady-state serving flow: base = the COMPACTED index (file-range
+    # manifests live), append two 5% slices of fresh docs (each append
+    # extends the manifests + merges the termdict incrementally), run the
+    # bm25 suite on the appended state, time the file-layout-only tier
+    # merge, run the suite again on the merged tier.
+    from visigoth_spark.build import append_index, merge_appends
+    from visigoth_spark.corpus import generate_corpus
+
+    def _suite_best2(ix) -> dict[str, float]:
+        ix.search("programación", "bm25", 10).collect()  # warm
+        out: dict[str, float] = {}
+        for _pass in range(2):
+            for name, q, engine in QUERY_SUITE:
+                t0 = time.time()
+                ix.search(q, engine, 10).collect()
+                dt = round(time.time() - t0, 4)
+                if name not in out or dt < out[name]:
+                    out[name] = dt
+        return out
+
+    def _bm25_p50(qs: dict[str, float]) -> float:
+        return round(statistics.median(
+            [qs[n] for n, _, e in QUERY_SUITE if e == "bm25"]), 4)
+
+    idx_m = os.path.join(tmp_hi, "idx_merge")
+    shutil.copytree(idx_hi, idx_m)
+    n_app = max(1_000, n_docs // 20)
+    extra = generate_corpus(2 * n_app, seed=1042)
+    extra["url"] = "m-" + extra["url"]
+    t_app = time.time()
+    for half in (extra.iloc[:n_app], extra.iloc[n_app:]):
+        append_index(
+            spark, spark.createDataFrame(half[["url", "text", "lang"]]),
+            idx_m, num_partitions=cores_hi,
+        )
+    append_wall = time.time() - t_app
+    queries_pre = _suite_best2(SearchIndex(spark, idx_m))
+    t0 = time.time()
+    merge_appends(spark, idx_m, num_partitions=cores_hi * 2)
+    merge_wall = time.time() - t0
+    queries_m = _suite_best2(SearchIndex(spark, idx_m))
+    merge_info = {
+        "wall": round(merge_wall, 2),
+        "appended_docs": 2 * n_app,
+        "append_wall": round(append_wall, 2),
+        "append_docs_per_sec": round(2 * n_app / append_wall, 1),
+        "bm25_p50_appended": _bm25_p50(queries_pre),
+        "bm25_p50_merged": _bm25_p50(queries_m),
+        "queries": queries_m,
+    }
+    shutil.rmtree(idx_m, ignore_errors=True)
 
     shutil.rmtree(tmp_hi, ignore_errors=True)
 
