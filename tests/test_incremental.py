@@ -304,3 +304,23 @@ class TestIncrementalTermdict:
         both = pd.concat([pdf, extra], ignore_index=True)
         build_index(spark, _df(spark, both), one, num_partitions=2)
         assert self._td(spark, out).equals(self._td(spark, one))
+
+    def test_crash_between_swap_and_covers_forces_full(self, spark,
+                                                       tmp_path):
+        """Crash window inside the refresh: termdict already swapped but
+        the covers manifest not yet written (simulated by deleting it).
+        A pinned-batch replay must take the FULL recompute (no covers ->
+        no incremental trust) and land on correct counts — the incremental
+        path would have double-counted the replayed batch."""
+        pdf = generate_corpus(120)
+        out = str(tmp_path / "cw")
+        build_index(spark, _df(spark, pdf.iloc[:80]), out,
+                    num_partitions=2)
+        kw = dict(num_partitions=1, batch_id=1, base_docid=80,
+                  bucket_base=load_stats(out)["n_buckets"])
+        append_index(spark, _df(spark, pdf.iloc[80:]), out, **kw)
+        td1 = self._td(spark, out)
+        os.remove(os.path.join(out, "_manifests", "termdict.json"))
+        append_index(spark, _df(spark, pdf.iloc[80:]), out, **kw)  # replay
+        assert self._td_manifest(out)["mode"] == "full"
+        assert self._td(spark, out).equals(td1)

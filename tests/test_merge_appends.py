@@ -326,3 +326,29 @@ class TestMergeEdgeCases:
         assert _batch_dirs(out) == ["batch=0", "batch=3"]
         assert gc_index(out) == []  # idempotent
         assert _results(SearchIndex(spark, out)) == before
+
+
+def test_half_written_manifests_regenerated_by_next_merge(spark, tmp_path):
+    """A crash between the first merge's segfiles and docfiles writes
+    leaves only segfiles.json; the next merge must detect the incomplete
+    pair and regenerate BOTH (had_manifest requires both), not strand the
+    hydration manifest forever."""
+    pdf = generate_corpus(160).sort_values("url").reset_index(drop=True)
+    out = str(tmp_path / "hm")
+    build_index(spark, _df(spark, pdf.iloc[:80]), out, num_partitions=2)
+    for lo, hi in ((80, 120), (120, 160)):
+        append_index(spark, _df(spark, pdf.iloc[lo:hi]), out,
+                     num_partitions=1)
+    merge_appends(spark, out, num_partitions=2)
+    # simulate the crashed first sweep: docfiles gone, segfiles kept
+    os.remove(os.path.join(out, "_manifests", "docfiles.json"))
+    extra = generate_corpus(30, seed=5)
+    extra["url"] = "hm-" + extra["url"]
+    for half in (extra.iloc[:15], extra.iloc[15:]):
+        append_index(spark, _df(spark, half), out, num_partitions=1)
+    merge_appends(spark, out, num_partitions=2)
+    for mf in ("segfiles.json", "docfiles.json"):
+        assert os.path.exists(os.path.join(out, "_manifests", mf)), mf
+    idx = SearchIndex(spark, out)
+    assert idx._docfiles is not None
+    assert idx.search("curso", "bm25", 10).count() > 0

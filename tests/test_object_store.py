@@ -93,7 +93,7 @@ class TestHadoopStoreLifecycle:
         assert not st.exists(vstore.join(uri, "_compact_tmp"))
         assert not st.exists(vstore.join(uri, "_pre_compact"))
         # no writer lock left behind by the swap
-        assert not st.exists(vstore.join(uri, "_manifests", "WRITER_LOCK"))
+        assert not st.exists(vstore.join(uri, "WRITER_LOCK"))
 
     def test_writer_lock_on_uri(self, spark, tmp_path, corpus_pdf):
         from visigoth_spark.build import _writer_lock

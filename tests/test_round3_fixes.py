@@ -36,18 +36,18 @@ class TestWriterLock:
         d = str(tmp_path / "idx")
         with _writer_lock(d, "append"):
             assert os.path.exists(
-                os.path.join(d, "_manifests", "WRITER_LOCK"))
+                os.path.join(d, "WRITER_LOCK"))
             with pytest.raises(RuntimeError, match="locked by another"):
                 with _writer_lock(d, "merge"):
                     pass
         # released on exit
         assert not os.path.exists(
-            os.path.join(d, "_manifests", "WRITER_LOCK"))
+            os.path.join(d, "WRITER_LOCK"))
 
     def test_stale_dead_pid_lock_is_broken(self, tmp_path):
         d = str(tmp_path / "idx")
         os.makedirs(os.path.join(d, "_manifests"))
-        lk = os.path.join(d, "_manifests", "WRITER_LOCK")
+        lk = os.path.join(d, "WRITER_LOCK")
         with open(lk, "w") as f:
             json.dump({"pid": 2 ** 22 + 12345,  # beyond pid_max: dead
                        "host": socket.gethostname(), "op": "x"}, f)
@@ -57,7 +57,7 @@ class TestWriterLock:
     def test_live_pid_lock_raises(self, tmp_path):
         d = str(tmp_path / "idx")
         os.makedirs(os.path.join(d, "_manifests"))
-        lk = os.path.join(d, "_manifests", "WRITER_LOCK")
+        lk = os.path.join(d, "WRITER_LOCK")
         with open(lk, "w") as f:
             json.dump({"pid": os.getpid(),  # alive (us)
                        "host": socket.gethostname(), "op": "x"}, f)

@@ -105,18 +105,29 @@ def _writer_lock(index_dir: str, op: str):
     host is a crashed writer's leftover and is broken automatically; a
     live-pid or foreign-host lock raises. Atomic on POSIX/HDFS
     (O_EXCL / create(overwrite=false)); best-effort on S3-like stores —
-    pair with an external lease there (storage.py module notes)."""
+    pair with an external lease there (storage.py module notes).
+
+    The lock lives at the INDEX ROOT, not under ``_manifests/``: the
+    in-place compaction swap renames ``_manifests`` away mid-operation,
+    and a lock inside it would vanish during exactly the window it must
+    protect (a concurrent writer could acquire a fresh lock and race the
+    swap)."""
     store = vstore.get_store(index_dir)
-    manifest_dir = vstore.join(index_dir, "_manifests")
-    store.makedirs(manifest_dir)
-    lock = vstore.join(manifest_dir, "WRITER_LOCK")
+    store.makedirs(index_dir)
+    lock = vstore.join(index_dir, "WRITER_LOCK")
     me = {"pid": os.getpid(), "host": socket.gethostname(), "op": op}
     payload = json.dumps(me).encode()
-    for attempt in range(2):
+    for attempt in range(3):
         if store.create_exclusive(lock, payload):
             break
         try:
             holder = store.read_json(lock)
+        except FileNotFoundError:
+            # holder released between our failed create and the read —
+            # definitionally not a live foreign lock; retry the create
+            if attempt < 2:
+                continue
+            holder = {}
         except (OSError, ValueError):
             holder = {}
         stale = False
@@ -127,7 +138,7 @@ def _writer_lock(index_dir: str, op: str):
                 stale = True  # crashed writer on this host
             except PermissionError:
                 pass  # alive, owned by another user
-        if stale and attempt == 0:
+        if stale and attempt < 2:
             with contextlib.suppress(FileNotFoundError):
                 store.remove(lock)
             continue
@@ -838,6 +849,15 @@ def append_index(
             td_covers = store.read_json(td_man_path).get("covers_md5")
         post_key = _covers_key(visible)
         pre_key = _covers_key([b for b in visible if b != batch_id])
+        # invalidate the covers manifest BEFORE any termdict mutation: a
+        # crash at ANY point inside the refresh then leaves no covers key,
+        # forcing the next writer onto the always-correct full recompute.
+        # Without this there is a window (termdict swapped, covers not yet
+        # rewritten) where a pinned-batch replay would see the PRE-append
+        # key against a POST-append termdict and union the batch in twice.
+        if td_covers is not None:
+            with contextlib.suppress(FileNotFoundError):
+                store.remove(td_man_path)
         if td_covers == pre_key and store.exists(td_path):
             td_mode = "incremental"
             # incremental: old termdict UNION new batch's aggregate
@@ -984,8 +1004,9 @@ def merge_appends(
     store = vstore.get_store(index_dir, spark)
     stats = load_stats(index_dir)
     manifest_dir = os.path.join(index_dir, "_manifests")
-    pre_visible = [m["batch"] for m in _visible_batches(index_dir)]
-    to_merge = [m for m in _visible_batches(index_dir)
+    vis_now = _visible_batches(index_dir)
+    pre_visible = [m["batch"] for m in vis_now]
+    to_merge = [m for m in vis_now
                 if m.get("appended") or m.get("merged")]
     if len(to_merge) < min_batches:
         return None
@@ -1035,8 +1056,9 @@ def merge_appends(
     # ignored) nor after it (replaced batches hidden, their entries
     # ignored) can make pruning miss a visible file. The sweep touches
     # ONLY the merged batch's files — O(merged files), not O(index files).
-    had_manifest = store.exists(os.path.join(manifest_dir,
-                                             "segfiles.json"))
+    had_manifest = store.exists(
+        os.path.join(manifest_dir, "segfiles.json")
+    ) and store.exists(os.path.join(manifest_dir, "docfiles.json"))
     _extend_file_manifests(store, index_dir, manifest_dir, new_batch,
                            batch_path)
     # commit point: ONE atomic manifest write makes the merged batch
@@ -1407,7 +1429,7 @@ def compact_index(
     )
 
     manifest_dir = os.path.join(stage, "_manifests")
-    os.makedirs(manifest_dir, exist_ok=True)
+    stage_store.makedirs(manifest_dir)
     # termdict completeness marker (matches build_index/append_index):
     # without it, a later resumed build's completeness check would rebuild
     # the termdict unnecessarily. The compacted layout is one batch 0.
@@ -1448,13 +1470,13 @@ def compact_index(
     # stream re-ingest its replayed epochs as duplicates
     old_manifest_dir = os.path.join(index_dir, "_manifests")
     for fname in store.listdir(old_manifest_dir):
-        if fname.startswith("batch_") or fname.endswith(".tmp") or (
+        if fname.startswith("batch_") or ".tmp" in fname or (
             # termdict/segfiles/docfiles: regenerated above for the staged
-            # layout; WRITER_LOCK: the lock THIS op holds must not survive
-            # the swap (it would deadlock the next maintenance op)
-            fname in ("termdict.json", "segfiles.json", "docfiles.json",
-                      "WRITER_LOCK")
-        ) or fname.startswith("WRITER_LOCK.tmp"):
+            # layout. ".tmp" also matches HadoopStore's ".tmp-<uuid>"
+            # write_atomic debris a crash can leave — carrying it over
+            # would immortalize it in every compacted index.
+            fname in ("termdict.json", "segfiles.json", "docfiles.json")
+        ):
             continue
         stage_store.write_atomic(
             os.path.join(manifest_dir, fname),

@@ -104,10 +104,12 @@ class _RemoteTermdict:
         import pyarrow.parquet as pq
 
         self._files = []  # (ParquetFile, [(min, max)] per row group)
+        self._streams = []  # underlying seekables, closed on close()
         for fn in store.listdir(td_dir):
             if not fn.endswith(".parquet"):
                 continue
             f = store.open_seekable(vstore.join(td_dir, fn))
+            self._streams.append(f)
             pf = pq.ParquetFile(pa.PythonFile(f, mode="r"))
             md = pf.metadata
             names = [md.schema.column(i).name
@@ -137,6 +139,19 @@ class _RemoteTermdict:
                     if t in out:
                         out[t] += int(d)
         return out
+
+    def close(self) -> None:
+        """Release the held JVM streams. Called when the reader is
+        invalidated (e.g. a maintenance op swapped the termdict under it)
+        — without this a long-lived serving index would leak one
+        FSDataInputStream per termdict file per rebuild."""
+        import contextlib
+
+        for f in self._streams:
+            with contextlib.suppress(Exception):
+                f.close()
+        self._files = []
+        self._streams = []
 
 
 class _RangePruner:
@@ -461,6 +476,8 @@ class SearchIndex:
                 if self._remote_td is not None:
                     return self._remote_td.lookup(terms)
             except Exception:
+                if self._remote_td is not None:
+                    self._remote_td.close()  # release the JVM streams
                 self._remote_td = None
         td = (os.path.join(self._local_root, "termdict")
               if self._local_root is not None else "")
