@@ -512,3 +512,60 @@ class TestManifestSupersetVisibility:
                idx.search("replay", "bm25", k=5).collect()]
         assert got == ["zz-replay"]
         assert load_stats(out)["n_docs"] == 61
+
+
+class TestPreCompactRecovery:
+    """A crash inside the in-place swap leaves _pre_compact holding the
+    old index; the next compact_index must auto-restore and complete."""
+
+    def _build(self, spark, tmp_path, name):
+        pdf, slices = _interleaved_slices(90, 3)
+        out = _appended_index(spark, tmp_path, name, slices)
+        return pdf, out
+
+    def _oracle_check(self, spark, pdf, out):
+        oracle = OracleIndex()
+        for r in pdf.sort_values("url").itertuples():
+            oracle.put(r.url, r.text)
+        idx = SearchIndex(spark, out)
+        got = [(r["url"], r["score"])
+               for r in idx.search("curso java", "bm25", k=10).collect()]
+        exp = oracle.bm25_search("curso java", k=10)
+        assert [u for u, _ in got] == [u for u, _ in exp]
+
+    def test_phase1_crash_recovered(self, spark, tmp_path):
+        """Crash while parking the old index: some pieces moved to
+        _pre_compact, none of the staged ones moved in."""
+        import shutil
+
+        pdf, out = self._build(spark, tmp_path, "p1")
+        pre = os.path.join(out, "_pre_compact")
+        os.makedirs(pre)
+        for piece in ("data", "termdict"):
+            shutil.move(os.path.join(out, piece),
+                        os.path.join(pre, piece))
+        # index root is now unreadable (no data/) — recovery + compaction
+        compact_index(spark, out, num_partitions=2)
+        assert not os.path.exists(pre)
+        assert load_stats(out)["n_batches"] == 1
+        self._oracle_check(spark, pdf, out)
+
+    def test_phase2_crash_recovered(self, spark, tmp_path):
+        """Crash while moving staged pieces in: _pre_compact holds ALL old
+        pieces, the root holds a mixed set (one staged piece made it)."""
+        import shutil
+
+        pdf, out = self._build(spark, tmp_path, "p2")
+        pre = os.path.join(out, "_pre_compact")
+        os.makedirs(pre)
+        for piece in ("data", "termdict", "_manifests", "stats.json"):
+            shutil.move(os.path.join(out, piece), os.path.join(pre, piece))
+        # fake a new-generation piece that made it to the root
+        os.makedirs(os.path.join(out, "data"))
+        with open(os.path.join(out, "data", "_marker"), "w") as f:
+            f.write("staged-generation")
+        compact_index(spark, out, num_partitions=2)
+        assert not os.path.exists(pre)
+        assert not os.path.exists(os.path.join(out, "data", "_marker"))
+        assert load_stats(out)["n_batches"] == 1
+        self._oracle_check(spark, pdf, out)

@@ -1245,6 +1245,7 @@ def compact_index(
     visigoth_spark.ensure_shipped(spark)
     t0 = time.time()
     store = vstore.get_store(index_dir, spark)
+    _recover_pre_compact(store, index_dir)
     stats = load_stats(index_dir)
     in_place = dest is None
     stage = os.path.join(index_dir, "_compact_tmp") if in_place else dest
@@ -1512,7 +1513,7 @@ def compact_index(
         if store.exists(pre):
             store.rmtree(pre)
         store.makedirs(pre)
-        pieces = ("data", "termdict", "_manifests", "stats.json")
+        pieces = _COMPACT_PIECES
         for name in pieces:
             store.rename(os.path.join(index_dir, name),
                          os.path.join(pre, name))
@@ -1530,6 +1531,37 @@ def compact_index(
         total_tokens=int(seg_meta["total_tokens"] or 0),
         wall_sec=time.time() - t0,
     )
+
+
+_COMPACT_PIECES = ("data", "termdict", "_manifests", "stats.json")
+
+
+def _recover_pre_compact(store, index_dir: str) -> None:
+    """Auto-recover from a crash inside a previous in-place compaction
+    swap. The swap parks the old index at ``_pre_compact`` piece by piece,
+    then moves the staged pieces in; a crash anywhere in between leaves
+    the index root incomplete (or mixed-generation) while ``_pre_compact``
+    still holds every not-yet-overwritten old piece. Recovery restores the
+    PRE-compaction index exactly: every piece present under
+    ``_pre_compact`` replaces its root counterpart (pieces the crash never
+    moved are already the same generation; staged new-generation pieces
+    that made it to the root are discarded — they derive from the old
+    index and the re-run compaction rebuilds them). A crash at the very
+    end (swap complete, ``_pre_compact`` not yet deleted) reverts a
+    finished compaction — wasteful but correct; the re-run redoes it.
+    No-op when ``_pre_compact`` is absent."""
+    pre = vstore.join(index_dir, "_pre_compact")
+    if not store.exists(pre):
+        return
+    for name in _COMPACT_PIECES:
+        src = vstore.join(pre, name)
+        if store.exists(src):
+            dst = vstore.join(index_dir, name)
+            if store.exists(dst):
+                store.rmtree(dst)
+            store.rename(src, dst)
+    store.rmtree(pre)
+    store.rmtree(vstore.join(index_dir, "_compact_tmp"))
 
 
 def _sweep_file_ranges(root: str, dirs: list[str],
