@@ -198,12 +198,16 @@ def cmd_merge(argv: list[str]) -> int:
     p.add_argument("--index", required=True)
     p.add_argument("--partitions", type=int, default=None)
     p.add_argument("--min-batches", type=int, default=2)
+    p.add_argument("--no-gc", action="store_true",
+                   help="defer reclaiming the replaced batches (readers "
+                        "that planned pre-merge keep a snapshot); run "
+                        "`cli gc` later")
     a = p.parse_args(argv)
     from visigoth_spark.build import merge_appends
 
     spark = _session("visigoth-merge")
     m = merge_appends(spark, a.index, num_partitions=a.partitions,
-                      min_batches=a.min_batches)
+                      min_batches=a.min_batches, gc=not a.no_gc)
     if m is None:
         print(json.dumps({"merged": False,
                           "reason": f"fewer than {a.min_batches} "
@@ -214,6 +218,21 @@ def cmd_merge(argv: list[str]) -> int:
         "n_segments": m.n_segments, "bytes_blob": m.bytes_blob,
         "wall_sec": round(m.wall_sec, 2),
     }))
+    return 0
+
+
+def cmd_gc(argv: list[str]) -> int:
+    """Reclaim batches hidden by a merge's replaces field
+    (build.gc_index) — the deferred half of merge --no-gc workflows; run
+    once readers that planned before the merge are gone."""
+    p = argparse.ArgumentParser(prog="cli gc")
+    p.add_argument("--index", required=True)
+    a = p.parse_args(argv)
+    from visigoth_spark.build import gc_index
+
+    if "://" in a.index:
+        _session("visigoth-gc")  # URI stores need the Spark JVM
+    print(json.dumps({"reclaimed": gc_index(a.index)}))
     return 0
 
 
@@ -230,7 +249,7 @@ def cmd_inspect(argv: list[str]) -> int:
 def main() -> int:
     cmds = {"build": cmd_build, "query": cmd_query,
             "compact": cmd_compact, "merge": cmd_merge,
-            "inspect": cmd_inspect}
+            "gc": cmd_gc, "inspect": cmd_inspect}
     if len(sys.argv) < 2 or sys.argv[1] not in cmds:
         print(f"usage: cli.py {{{'|'.join(cmds)}}} ...", file=sys.stderr)
         return 2
