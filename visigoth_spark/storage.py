@@ -197,6 +197,12 @@ class LocalStore(Store):
         shutil.rmtree(path, ignore_errors=True)
 
     def rename(self, src, dst):
+        # contract (matches HadoopStore): dst is REPLACED. os.replace is
+        # atomic for files and empty-dir targets; a non-empty dir target
+        # is pre-deleted (non-atomic, same as Hadoop's delete+rename —
+        # every in-repo caller that needs atomicity clears dst itself)
+        if os.path.isdir(dst):
+            shutil.rmtree(dst)
         os.replace(src, dst)
 
     def getsize(self, path):
