@@ -569,3 +569,67 @@ class TestPreCompactRecovery:
         assert not os.path.exists(os.path.join(out, "data", "_marker"))
         assert load_stats(out)["n_batches"] == 1
         self._oracle_check(spark, pdf, out)
+
+    def test_completed_swap_leftover_preserves_later_appends(
+            self, spark, tmp_path):
+        """Crash AFTER the swap finished but BEFORE _pre_compact was
+        deleted: the root is the live new generation, and batches appended
+        after that crash live only in the new data/_manifests. The next
+        compaction must treat _pre_compact as a finished swap's leftover
+        (all pieces present at the root) and DELETE it — restoring it
+        would silently destroy the post-crash appends."""
+        from visigoth_spark import storage as vstore
+        from visigoth_spark.build import _COMPACT_PIECES
+
+        pdf, out = self._build(spark, tmp_path, "done")
+        # first compaction, crashing at the final rmtree(_pre_compact):
+        # the old generation stays parked while the root is fully swapped
+        real_rmtree = vstore.LocalStore.rmtree
+        def crashing_rmtree(self_, path):
+            if path.endswith("_pre_compact"):
+                raise RuntimeError("injected crash before cleanup")
+            real_rmtree(self_, path)
+        vstore.LocalStore.rmtree = crashing_rmtree
+        try:
+            with pytest.raises(RuntimeError, match="injected crash"):
+                compact_index(spark, out, num_partitions=2)
+        finally:
+            vstore.LocalStore.rmtree = real_rmtree
+        pre = os.path.join(out, "_pre_compact")
+        assert os.path.exists(pre)
+        for piece in _COMPACT_PIECES:
+            assert os.path.exists(os.path.join(out, piece))
+        # the crashed run's writer lock is a dead-pid leftover in-process
+        # (same pid, still alive) — clear it like an operator would
+        lock = os.path.join(out, "WRITER_LOCK")
+        if os.path.exists(lock):
+            os.remove(lock)
+        # post-crash append: committed only in the NEW generation
+        extra = generate_corpus(8, seed=777)
+        extra = extra.assign(url="zz-postcrash-" + extra["url"],
+                             text=extra["text"] + " postcrash")
+        append_index(spark, _df(spark, extra), out, num_partitions=1)
+        n_after = load_stats(out)["n_docs"]
+        # second compaction: must NOT roll back to _pre_compact
+        compact_index(spark, out, num_partitions=2)
+        assert not os.path.exists(pre)
+        assert load_stats(out)["n_docs"] == n_after
+        idx = SearchIndex(spark, out)
+        got = [r["url"] for r in
+               idx.search("postcrash", "linear", k=None).collect()]
+        assert len(got) == 8 and all(u.startswith("zz-postcrash-")
+                                     for u in got)
+        self._oracle_check_with_extra(spark, pdf, extra, out)
+
+    def _oracle_check_with_extra(self, spark, pdf, extra, out):
+        import pandas as pd
+
+        oracle = OracleIndex()
+        both = pd.concat([pdf, extra], ignore_index=True)
+        for r in both.sort_values("url").itertuples():
+            oracle.put(r.url, r.text)
+        idx = SearchIndex(spark, out)
+        got = [(r["url"], r["score"])
+               for r in idx.search("curso java", "bm25", k=10).collect()]
+        exp = oracle.bm25_search("curso java", k=10)
+        assert [u for u, _ in got] == [u for u, _ in exp]

@@ -94,6 +94,29 @@ class TestHadoopStoreLifecycle:
         assert not st.exists(vstore.join(uri, "_pre_compact"))
         # no writer lock left behind by the swap
         assert not st.exists(vstore.join(uri, "WRITER_LOCK"))
+        # no control-plane call fell into LocalStore with a Hadoop-
+        # normalized single-slash URI (r3 left 63 stray relative
+        # "file:/…" dirs under cwd after one pytest run)
+        assert not [p for p in os.listdir(".") if p.startswith("file:")]
+
+    def test_single_slash_uri_routes_to_hadoop_store(self, spark):
+        """Hadoop's Path.toString() drops the empty authority, so
+        file:///x comes back as file:/x — that form must still route to
+        HadoopStore (r3: it matched no scheme and fell into LocalStore,
+        where os.makedirs created a relative ``file:/…`` dir under cwd)."""
+        assert vstore.is_uri("file:/tmp/x")
+        assert vstore.is_uri("s3a://bucket/x")
+        assert vstore.is_uri("hdfs://nn:9000/x")
+        assert not vstore.is_uri("/tmp/x")
+        assert not vstore.is_uri("relative/path")
+        assert not vstore.is_uri("C:/win/drive")  # drive letters: out of scope
+        st = vstore.get_store("file:/tmp/x", spark)
+        assert type(st).__name__ == "HadoopStore"
+        # both slash forms address the same file
+        p = "/tmp/vg_slash_probe"
+        st.write_atomic("file:" + p, b"x")
+        assert st.exists("file://" + p)
+        st.remove("file://" + p)
 
     def test_writer_lock_on_uri(self, spark, tmp_path, corpus_pdf):
         from visigoth_spark.build import _writer_lock

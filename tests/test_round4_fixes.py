@@ -1,0 +1,180 @@
+"""Round-4 hardening: the writer-lock break-claim protocol, the
+Catalog.rename destination guard, the k=None broadcast gating, and
+single-slash URI routing regressions (the compaction-recovery
+completed-swap case lives in test_compact.py, the tiebreak and refresh
+suites in their own classes below as they land)."""
+
+from __future__ import annotations
+
+import json
+import os
+import socket
+
+import pytest
+
+from visigoth_spark.build import _writer_lock, build_index
+from visigoth_spark.corpus import generate_corpus
+
+DEAD_PID = 2 ** 22 + 54321  # beyond pid_max on this host: provably dead
+
+
+def _df(spark, pdf):
+    return spark.createDataFrame(pdf[["url", "text", "lang"]])
+
+
+def _write_lock_file(path, pid, op="x"):
+    with open(path, "w") as f:
+        json.dump({"pid": pid, "host": socket.gethostname(), "op": op}, f)
+
+
+class TestWriterLockBreakClaim:
+    """Breaking a stale lock must go through the exclusive break claim:
+    two contenders that both observed the same dead holder can never both
+    remove-and-recreate (the r3 race: the second remove deleted the first
+    contender's FRESH lock and both proceeded)."""
+
+    def test_stale_lock_broken_and_claim_cleaned(self, tmp_path):
+        d = str(tmp_path / "idx")
+        os.makedirs(d)
+        _write_lock_file(os.path.join(d, "WRITER_LOCK"), DEAD_PID)
+        with _writer_lock(d, "append"):
+            # we hold the main lock; the break claim must not linger
+            assert not os.path.exists(
+                os.path.join(d, "WRITER_LOCK.break"))
+            holder = json.load(open(os.path.join(d, "WRITER_LOCK")))
+            assert holder["pid"] == os.getpid()
+        assert not os.path.exists(os.path.join(d, "WRITER_LOCK"))
+
+    def test_live_break_claim_blocks_breaking(self, tmp_path):
+        """While ANOTHER live contender holds the break claim, a stale
+        main lock may not be broken by us — we must retry and ultimately
+        give up loudly, never remove the lock out from under the
+        breaker."""
+        d = str(tmp_path / "idx")
+        os.makedirs(d)
+        lk = os.path.join(d, "WRITER_LOCK")
+        _write_lock_file(lk, DEAD_PID)
+        # live (our own pid) break claim held by "someone else"
+        _write_lock_file(lk + ".break", os.getpid())
+        with pytest.raises(RuntimeError, match="locked by another"):
+            with _writer_lock(d, "append"):
+                pass
+        # neither file was touched
+        assert json.load(open(lk))["pid"] == DEAD_PID
+        assert json.load(open(lk + ".break"))["pid"] == os.getpid()
+
+    def test_dead_break_claim_cleared(self, tmp_path):
+        """A break claim whose own holder crashed is itself stale: it is
+        cleared and the acquisition proceeds."""
+        d = str(tmp_path / "idx")
+        os.makedirs(d)
+        lk = os.path.join(d, "WRITER_LOCK")
+        _write_lock_file(lk, DEAD_PID)
+        _write_lock_file(lk + ".break", DEAD_PID + 1)
+        with _writer_lock(d, "append"):
+            assert json.load(open(lk))["pid"] == os.getpid()
+        assert not os.path.exists(lk)
+        assert not os.path.exists(lk + ".break")
+
+    def test_reverify_under_claim_spares_fresh_lock(self, tmp_path):
+        """The breaker re-reads the main lock under the claim and only
+        removes it when it still names the dead holder it decided on: a
+        lock that changed hands in between (fresh live writer) survives.
+        Simulated by handing the breaker a store whose first read returns
+        the stale holder and whose later reads see a fresh live one."""
+        from visigoth_spark import storage as vstore
+
+        d = str(tmp_path / "idx")
+        os.makedirs(d)
+        lk = os.path.join(d, "WRITER_LOCK")
+        # on disk: a FRESH lock held by a live writer (us)
+        _write_lock_file(lk, os.getpid())
+
+        stale = json.dumps({"pid": DEAD_PID,
+                            "host": socket.gethostname(),
+                            "op": "x"}).encode()
+        real_read = vstore.LocalStore.read_bytes
+        state = {"first": True}
+
+        def stale_then_real(self_, path):
+            if path == lk and state["first"]:
+                state["first"] = False  # the breaker's initial observation
+                return stale
+            return real_read(self_, path)
+
+        vstore.LocalStore.read_bytes = stale_then_real
+        try:
+            with pytest.raises(RuntimeError):
+                with _writer_lock(d, "append"):
+                    pass
+        finally:
+            vstore.LocalStore.read_bytes = real_read
+        # the fresh live lock was NOT deleted by the aborted break
+        assert json.load(open(lk))["pid"] == os.getpid()
+        assert not os.path.exists(lk + ".break")
+
+
+class TestCatalogRenameGuard:
+    def test_rename_refuses_unregistered_destination_dir(
+            self, spark, tmp_path):
+        from visigoth_spark.catalog import Catalog
+
+        root = str(tmp_path / "cat")
+        cat = Catalog(spark, root)
+        pdf = generate_corpus(30)
+        cat.ingest("a", _df(spark, pdf), num_partitions=1)
+        # unregistered leftover directory at the destination name
+        leftover = os.path.join(root, "idx_b")
+        os.makedirs(leftover)
+        with open(os.path.join(leftover, "keep.txt"), "w") as f:
+            f.write("manual copy — must not be destroyed")
+        assert cat.rename("a", "b") is False
+        assert os.path.exists(os.path.join(leftover, "keep.txt"))
+        assert cat.list() == ["a"]  # manifest untouched
+        # clearing the leftover lets the rename through
+        import shutil
+
+        shutil.rmtree(leftover)
+        assert cat.rename("a", "b") is True
+        assert cat.list() == ["b"]
+        assert cat.search("b", "curso", k=3).count() > 0
+
+
+class TestUnboundedBroadcastGate:
+    def test_k_none_broadcast_gated_on_match_estimate(
+            self, spark, tmp_path, monkeypatch):
+        """k=None hydration broadcasts the ranked set only when the
+        termdict bounds the match count; a head-term match set stays in a
+        plain (non-broadcast) join (r3 collected EVERY matching row onto
+        the driver and shipped it back out)."""
+        import visigoth_spark.query as q_mod
+        from visigoth_spark.query import SearchIndex
+
+        pdf = generate_corpus(200)
+        out = str(tmp_path / "idx")
+        build_index(spark, _df(spark, pdf), out, num_partitions=2)
+
+        def plan(df):
+            return df._jdf.queryExecution().executedPlan().toString()
+
+        idx = SearchIndex(spark, out)
+        # silence the auto-broadcast of small sides so the plan reflects
+        # ONLY our explicit hint (at 10^12 docs neither side is auto-small)
+        saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            small = plan(idx.search("curso", "bm25", k=None))
+            assert "Broadcast" in small  # tail df -> broadcast hydration
+
+            monkeypatch.setattr(q_mod, "UNBOUNDED_BROADCAST_MAX_ROWS", 0)
+            big = plan(idx.search("curso", "bm25", k=None))
+            assert "BroadcastHashJoin" not in big  # head -> plain join
+            # results identical either way
+            a = [r["url"] for r in
+                 idx.search("curso", "bm25", k=None).collect()]
+            monkeypatch.undo()
+            b = [r["url"] for r in
+                 idx.search("curso", "bm25", k=None).collect()]
+            assert a == b and len(a) > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)

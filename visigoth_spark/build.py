@@ -111,42 +111,94 @@ def _writer_lock(index_dir: str, op: str):
     in-place compaction swap renames ``_manifests`` away mid-operation,
     and a lock inside it would vanish during exactly the window it must
     protect (a concurrent writer could acquire a fresh lock and race the
-    swap)."""
+    swap).
+
+    Breaking a stale lock goes through a second exclusive file, the
+    BREAK CLAIM (``WRITER_LOCK.break``): removing the dead holder's lock
+    directly would race — two contenders that both read the same
+    dead-pid holder would both remove-and-recreate, and the second
+    remove deletes the first contender's FRESH lock, yielding exactly
+    the concurrent writers the lock exists to prevent. Instead a
+    contender must (1) win ``create_exclusive`` on the break claim,
+    (2) RE-READ the main lock under that claim and re-verify the holder
+    is still the dead one it saw — while the claim is held no other
+    contender can remove the main lock, so the only way its content
+    changes is a release+fresh-acquire, whose new holder is alive and
+    aborts the break — and only then (3) remove the main lock, drop the
+    claim, and go back to competing in ``create_exclusive`` like
+    everyone else (it may lose to a third writer; that is correct). A
+    break claim whose own holder is dead (breaker crashed mid-break) is
+    itself removed after the same dead-pid check."""
     store = vstore.get_store(index_dir)
     store.makedirs(index_dir)
     lock = vstore.join(index_dir, "WRITER_LOCK")
+    claim = lock + ".break"
     me = {"pid": os.getpid(), "host": socket.gethostname(), "op": op}
     payload = json.dumps(me).encode()
-    for attempt in range(3):
+
+    def _holder(path) -> dict:
+        try:
+            return store.read_json(path)
+        except FileNotFoundError:
+            raise
+        except (OSError, ValueError):
+            return {}
+
+    def _dead(holder: dict) -> bool:
+        """True only for a provably dead holder pid ON THIS host."""
+        if holder.get("host") != me["host"] or not holder.get("pid"):
+            return False
+        try:
+            os.kill(int(holder["pid"]), 0)
+        except ProcessLookupError:
+            return True  # crashed writer on this host
+        except PermissionError:
+            pass  # alive, owned by another user
+        return False
+
+    for attempt in range(4):
         if store.create_exclusive(lock, payload):
             break
         try:
-            holder = store.read_json(lock)
+            holder = _holder(lock)
         except FileNotFoundError:
             # holder released between our failed create and the read —
             # definitionally not a live foreign lock; retry the create
-            if attempt < 2:
+            if attempt < 3:
                 continue
             holder = {}
-        except (OSError, ValueError):
-            holder = {}
-        stale = False
-        if holder.get("host") == me["host"] and holder.get("pid"):
+        if _dead(holder) and attempt < 3:
+            if store.create_exclusive(claim, payload):
+                try:
+                    # re-verify under the claim: only remove if the main
+                    # lock still names the dead holder we decided on
+                    with contextlib.suppress(FileNotFoundError):
+                        cur = _holder(lock)
+                        if cur.get("pid") == holder.get("pid") and _dead(cur):
+                            store.remove(lock)
+                finally:
+                    with contextlib.suppress(FileNotFoundError):
+                        store.remove(claim)
+                continue
+            # someone else is mid-break: if THE BREAKER crashed, clear
+            # its claim and retry; otherwise let it finish and recompete
             try:
-                os.kill(int(holder["pid"]), 0)
-            except ProcessLookupError:
-                stale = True  # crashed writer on this host
-            except PermissionError:
-                pass  # alive, owned by another user
-        if stale and attempt < 2:
-            with contextlib.suppress(FileNotFoundError):
-                store.remove(lock)
+                if _dead(_holder(claim)):
+                    with contextlib.suppress(FileNotFoundError):
+                        store.remove(claim)
+            except FileNotFoundError:
+                pass
             continue
         raise RuntimeError(
             f"index {index_dir!r} is locked by another writer "
             f"{holder or '<unreadable lock>'} ({lock}); maintenance "
             f"ops are single-writer — wait for it, or remove the lock "
             f"file if the writer is known dead"
+        )
+    else:
+        raise RuntimeError(
+            f"could not acquire the writer lock on {index_dir!r} after "
+            f"contended retries ({lock})"
         )
     try:
         yield
@@ -1546,12 +1598,30 @@ def _recover_pre_compact(store, index_dir: str) -> None:
     ``_pre_compact`` replaces its root counterpart (pieces the crash never
     moved are already the same generation; staged new-generation pieces
     that made it to the root are discarded — they derive from the old
-    index and the re-run compaction rebuilds them). A crash at the very
-    end (swap complete, ``_pre_compact`` not yet deleted) reverts a
-    finished compaction — wasteful but correct; the re-run redoes it.
-    No-op when ``_pre_compact`` is absent."""
+    index and the re-run compaction rebuilds them).
+
+    Restore ONLY when the swap is provably incomplete. Both swap phases
+    remove pieces from the root before putting their replacements back
+    (phase 1 parks root pieces under ``_pre_compact`` one rename at a
+    time; phase 2 moves staged pieces in one rename at a time), so a
+    crash anywhere inside the swap leaves the root missing at least one
+    of ``_COMPACT_PIECES``. Conversely, a root with all pieces present
+    means the swap FINISHED and only the final ``rmtree(_pre_compact)``
+    was lost — then ``_pre_compact`` is a completed swap's leftover and
+    is deleted, never restored: batches appended between that crash and
+    this call live only in the new generation's ``data``/``_manifests``,
+    and restoring the old generation over them would silently destroy
+    committed ingest. No-op when ``_pre_compact`` is absent."""
     pre = vstore.join(index_dir, "_pre_compact")
     if not store.exists(pre):
+        return
+    if all(store.exists(vstore.join(index_dir, name))
+           for name in _COMPACT_PIECES):
+        # completed swap's leftover (crash after phase 2, before cleanup):
+        # the root is the live new generation — possibly with appends on
+        # top — so just finish the interrupted cleanup
+        store.rmtree(pre)
+        store.rmtree(vstore.join(index_dir, "_compact_tmp"))
         return
     for name in _COMPACT_PIECES:
         src = vstore.join(pre, name)

@@ -206,13 +206,20 @@ class Catalog:
         m = self._load()
         if old not in m["indexes"] or new in m["indexes"]:
             return False
+        old_dir, new_dir = self._index_dir(old), self._index_dir(new)
+        if self._store.exists(new_dir):
+            # an UNREGISTERED leftover at the destination (manual copy,
+            # partially failed drop): the store's rename is replace-rename
+            # (needed by the compaction swap), so going ahead would
+            # silently destroy it — refuse and surface the conflict
+            # instead (≙ os.rename's old EEXIST behavior)
+            return False
         m["indexes"].remove(old)
         m["indexes"].append(new)
         for lst in m["aliases"].values():
             for i, n in enumerate(lst):
                 if n == old:
                     lst[i] = new
-        old_dir, new_dir = self._index_dir(old), self._index_dir(new)
         if self._store.exists(old_dir):
             self._store.rename(old_dir, new_dir)
         self._save(m)

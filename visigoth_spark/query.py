@@ -64,6 +64,12 @@ ENGINES = frozenset(
 
 _AND_BM25 = ("bm25", "bm25_wand", "bm25_exhaustive")
 
+# k=None hydration: broadcast the ranked match set into the docmap join
+# only when the termdict bounds it to roughly Spark's default broadcast
+# budget (~2M rows x ~24 B). Above it, a plain join keeps the match set
+# executor-side (AQE picks SMJ / shuffled hash).
+UNBOUNDED_BROADCAST_MAX_ROWS = 2_000_000
+
 
 def _filter_entries_visible(entries: list[dict],
                             batches: list[int]) -> list[dict]:
@@ -675,13 +681,25 @@ class SearchIndex:
             else:
                 ordered = local.orderBy(F.desc("score"), F.asc("docid"))
             if k is None:
-                # unbounded result: stay fully distributed — broadcast the
-                # ranked ids into the docmap join
+                # unbounded result: stay fully distributed. Broadcast the
+                # ranked ids into the docmap join only when the termdict
+                # already proves the match set is small (AND matches <=
+                # min df; OR/hits <= sum df): a head-term unbounded query
+                # would otherwise collect every matching row onto the
+                # driver just to ship it back out — past broadcast limits
+                # long before 10^12 docs. Above the bound, a plain join
+                # (AQE picks SMJ/shuffled-hash) keeps it executor-side.
                 out_cols = ["url", "docid", "score", "hits"] + (
                     ["raw"] if include_raw else []
                 )
+                est = (min(dfs.values())
+                       if engine in _AND_BM25 or engine == "linear"
+                       else sum(dfs.values()))
+                ranked = (F.broadcast(ordered)
+                          if est <= UNBOUNDED_BROADCAST_MAX_ROWS
+                          else ordered)
                 return (
-                    self._docmap.join(F.broadcast(ordered), "docid")
+                    self._docmap.join(ranked, "docid")
                     .select(*out_cols)
                     .orderBy(*_order_cols(engine))
                 )

@@ -54,6 +54,7 @@ from __future__ import annotations
 import io
 import json
 import os
+import re
 import shutil
 import uuid
 
@@ -65,8 +66,19 @@ _OBJECT_STORE_SCHEMES = frozenset(
 )
 
 
+_URI_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]+:/")
+
+
 def is_uri(path: str) -> bool:
-    return "://" in path
+    """True for scheme-qualified paths — BOTH the ``scheme://authority/…``
+    form and Hadoop's normalized single-slash ``scheme:/path`` form
+    (``org.apache.hadoop.fs.Path.toString()`` drops the empty authority, so
+    ``file:///x`` comes back as ``file:/x``). Routing the single-slash form
+    to LocalStore would make ``os.makedirs`` create a RELATIVE ``file:/…``
+    directory under cwd — wrong store, litter, and a crash on read-only
+    cwd. The scheme must be >= 2 chars: single letters are Windows drive
+    designators, explicitly out of scope here (module docstring)."""
+    return bool(_URI_RE.match(path))
 
 
 def get_store(path: str, spark=None) -> "Store":
