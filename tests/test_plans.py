@@ -33,19 +33,41 @@ def built_idx(spark, tmp_path_factory):
 
 class TestScanPruning:
     def test_postings_scan_pushdown(self, spark, built_idx):
-        """Query-term filter pushed to parquet; kind=s partition filter;
-        no docmap columns in the postings ReadSchema."""
+        """Query-term filter pushed to parquet; docmap files never in the
+        scan (the manifest-pruned path enumerates kind=s files only); no
+        docmap columns in the postings ReadSchema."""
         idx = SearchIndex(spark, built_idx)
         plan = _plan(idx._seg_scan(["curs", "jav"]))
         assert "PushedFilters" in plan
         assert "In(term" in plan or "in(term" in plan.lower()
-        # kind is a hive partition dir: whole docmap files never opened
-        assert "kind" in plan
+        # fresh builds now plan from the segfiles manifest: the scan
+        # location lists segment files explicitly — docmap files are
+        # structurally excluded (stronger than the old kind partition
+        # filter, which still listed every file)
+        assert "kind=s" in plan and "kind=d" not in plan
         # column pruning: the postings scan must not read docmap columns
         read_schema = [ln for ln in plan.splitlines()
                        if "ReadSchema" in ln]
         assert read_schema and "url" not in read_schema[0]
         assert "doclen" not in read_schema[0]
+
+    def test_fresh_build_prunes_files_before_any_maintenance(
+            self, spark, built_idx):
+        """A NEVER-merged, never-compacted index already has file-level
+        pruning: build_index finalizes each batch's segments term-range
+        partitioned and writes segfiles/docfiles.json (r3 gap — fresh
+        indexes scheduled one split per corpus partition per query until
+        their first maintenance op)."""
+        idx = SearchIndex(spark, built_idx)
+        assert idx._segfiles and idx._docfiles  # written at build time
+        pruned = idx._seg_prune.prune(["curs"])
+        assert pruned is not None
+        assert 0 < len(pruned) < len(idx._segfiles)
+        # docid hydration pruning too: one result id opens ~1 docmap file
+        some_docid = idx.search("curso", "bm25", k=1).collect()[0]["docid"]
+        dpruned = idx._doc_prune.prune([int(some_docid)])
+        assert dpruned is not None
+        assert 0 < len(dpruned) < max(2, len(idx._docfiles))
 
     def test_compacted_scan_uses_file_manifest(self, spark, built_idx,
                                                tmp_path):

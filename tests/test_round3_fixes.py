@@ -138,7 +138,20 @@ class TestKernelCaps:
 
     @pytest.mark.parametrize("engine", ["hits", "linear", "bm25_or"])
     def test_capped_at_k(self, engine):
+        # every row ties here (uniform metric): score engines keep the
+        # boundary tie class up to the 2k bound (r4 url-tiebreak
+        # over-fetch); linear's order is docid — exactly k
         out = self._run(engine, 5)
+        assert len(out) == (5 if engine == "linear" else 10)
+
+    def test_capped_exactly_k_without_boundary_ties(self):
+        # distinct per-doc scores (varying dl) -> no k-boundary tie ->
+        # the cap is exactly k
+        dec = {"t": (np.arange(100, dtype=np.int64),
+                     np.ones(100, dtype=np.int64),
+                     np.arange(10, 110, dtype=np.int64))}
+        out = _decoded_body(dec, "bm25_or", ["t"], {"t": 1}, {"t": 1.0},
+                            10.0, threshold=1, k=5)
         assert len(out) == 5
 
     @pytest.mark.parametrize("engine", ["hits", "linear", "bm25_or"])
@@ -147,10 +160,12 @@ class TestKernelCaps:
 
     def test_cap_keeps_engine_order_prefix(self):
         # uniform hits/scores here -> docid ASC is the tiebreak; the capped
-        # set must be the engine-order prefix, not an arbitrary subset
-        for engine in ("hits", "linear"):
-            out = self._run(engine, 5)
-            assert list(out["docid"]) == [0, 1, 2, 3, 4]
+        # set must be the engine-order prefix (tie-extended to 2k for
+        # hits), not an arbitrary subset
+        out = self._run("hits", 5)
+        assert list(out["docid"]) == list(range(10))
+        out = self._run("linear", 5)
+        assert list(out["docid"]) == [0, 1, 2, 3, 4]
 
 
 class TestUrlTiebreak:

@@ -114,6 +114,96 @@ class TestWriterLockBreakClaim:
         assert not os.path.exists(lk + ".break")
 
 
+class TestKBoundaryTiebreak:
+    """Constructed exact-score tie straddling the k boundary on APPENDED
+    indexes (docid = ingest order != url order): the returned k-set must
+    match the reference's url-order selection (search_result.go:31-38 +
+    entities_doc.go:12-14) — the r3 residual where kernels selected the
+    k-set on (score, docid) and a tied row outside it could win on url.
+    Both append orders, both routes, three engines."""
+
+    K = 3
+
+    @pytest.fixture(scope="class")
+    def tied(self, spark, tmp_path_factory):
+        import pandas as pd
+
+        from visigoth_spark.build import append_index, build_index
+        from visigoth_spark.reference_engine import OracleIndex
+
+        docs = [("u-00-top", "zorp zorp zorp blik")]  # clear winner
+        for i in range(6):  # six IDENTICAL docs: exact BM25 tie class
+            docs.append((f"u-{i + 1:02d}-tie", "zorp blik krandel velt"))
+        for i in range(10):  # filler without the query terms
+            docs.append((f"u-zz-{i:02d}", "relleno distinto aqui siempre"))
+        pdf = pd.DataFrame({"url": [u for u, _ in docs],
+                            "text": [t for _, t in docs],
+                            "lang": "es"})
+        tmp = tmp_path_factory.mktemp("ties")
+        # two ingest orders, urls interleaved so docid order != url order
+        # INSIDE the tie class on both
+        idx_dirs = []
+        for name, first in (("a", pdf.iloc[::2]), ("b", pdf.iloc[1::2])):
+            rest = pdf.loc[~pdf.index.isin(first.index)]
+            out = str(tmp / name)
+            build_index(spark, spark.createDataFrame(first), out,
+                        num_partitions=2)
+            append_index(spark, spark.createDataFrame(rest), out,
+                         num_partitions=1)
+            idx_dirs.append(out)
+        oracle = OracleIndex()
+        for u, t in sorted(docs):
+            oracle.put(u, t)
+        return idx_dirs, oracle
+
+    def _spark_top(self, spark, out, engine, route):
+        from visigoth_spark.query import SearchIndex
+
+        idx = SearchIndex(spark, out)
+        rows = idx.search("zorp blik", engine, k=self.K,
+                          route=route).collect()
+        return [(r["url"], r["score"]) for r in rows]
+
+    @pytest.mark.parametrize("route", ["driver", "spark"])
+    def test_bm25_tie_class_selected_by_url(self, spark, tied, route):
+        idx_dirs, oracle = tied
+        exp = oracle.bm25_search("zorp blik", k=self.K)
+        assert len({s for _, s in exp[1:]}) == 1  # tie straddles k
+        for out in idx_dirs:
+            got = self._spark_top(spark, out, "bm25", route)
+            assert [u for u, _ in got] == [u for u, _ in exp]
+            for (gu, gs), (eu, es) in zip(got, exp):
+                assert gs == pytest.approx(es, abs=1e-12)
+
+    @pytest.mark.parametrize("route", ["driver", "spark"])
+    def test_hits_tie_class_selected_by_url(self, spark, tied, route):
+        idx_dirs, oracle = tied
+        exp = [u for u, _ in oracle.hits_search("zorp blik")][:self.K]
+        for out in idx_dirs:
+            got = self._spark_top(spark, out, "hits", route)
+            assert [u for u, _ in got] == exp
+
+    @pytest.mark.parametrize("route", ["driver", "spark"])
+    def test_bm25_or_tie_class_selected_by_url(self, spark, tied, route):
+        idx_dirs, oracle = tied
+        exp = oracle.bm25_or_search("zorp blik", k=self.K)
+        for out in idx_dirs:
+            got = self._spark_top(spark, out, "bm25_or", route)
+            assert [u for u, _ in got] == [u for u, _ in exp]
+
+    def test_search_many_tie_class_selected_by_url(self, spark, tied):
+        from visigoth_spark.query import SearchIndex
+
+        idx_dirs, oracle = tied
+        exp = [u for u, _ in oracle.bm25_search("zorp blik", k=self.K)]
+        for out in idx_dirs:
+            idx = SearchIndex(spark, out)
+            rows = idx.search_many(["zorp blik", "relleno"], "bm25",
+                                   k=self.K).collect()
+            got = [r["url"] for r in rows if r["qid"] == 0]
+            assert got == exp
+
+
 class TestCatalogRenameGuard:
     def test_rename_refuses_unregistered_destination_dir(
             self, spark, tmp_path):

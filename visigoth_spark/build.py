@@ -447,8 +447,24 @@ def build_index(
     n_buckets: int | None = None,  # accepted for API compat; bucket == pid
     store_raw: bool = False,
     statement_col: str | None = None,
+    finalize_segments: bool = True,
 ) -> BuildMetrics:
     """Build (or resume) the inverted index at ``out_dir``.
+
+    ``finalize_segments`` (default True): after each batch's fused
+    zero-shuffle write, rewrite that batch's segment files term-range
+    partitioned (the same layout ``compact_index`` produces) and record
+    per-file term/docid ranges in ``_manifests/segfiles.json`` /
+    ``docfiles.json``. A fresh index is then query-ready with file-level
+    pruning from the first search: the planner enumerates ~1 segment file
+    per query term instead of scheduling one split per corpus partition
+    (the reference analogue is the hash-map probe being O(1) from the
+    first Put, index_memory_index.go:24-27). Cost: one extra read+write
+    of the COMPRESSED posting blobs per batch (~bytes_blob, a few percent
+    of corpus bytes — never the corpus text, never the docmap/raw rows).
+    Set False for maximum-throughput ingest where a merge/compact pass
+    will establish the serving layout anyway (the append/streaming path's
+    tiering model).
 
     ``store_raw``: store each document's content in the docmap so results
     can hydrate ``Doc.Raw`` (≙ search_result.go:6-9 / the ``"raw"`` field of
@@ -573,6 +589,14 @@ def build_index(
                 .parquet(batch_path)
             )
             tick(f"batch {bi}", tmark)
+            if finalize_segments:
+                # term-range rewrite BEFORE the manifest commit: a crash
+                # mid-rewrite leaves the batch manifestless (invisible) and
+                # resume redoes it wholesale via mode("overwrite")
+                _finalize_batch_segments(
+                    spark, store, batch_path,
+                    n_files=max(1, min(64, len(batch_pids))))
+                tick(f"batch {bi} finalize", tmark)
             # lineage + metrics from the written segment metadata (exact,
             # no extra corpus pass). Read the batch ROOT filtered on kind so
             # a batch with zero posting segments (all docs analyzed to zero
@@ -665,6 +689,22 @@ def build_index(
             "built_at_sec": time.time(),
             "wall_sec": metrics.wall_sec,
         }
+        # file-range pruning manifests from the FIRST build (r3 gap: only
+        # merge/compact created them, so a fresh never-maintained index
+        # scheduled one split per corpus partition per query). With
+        # finalize_segments the segment ranges are tight (~1 file per
+        # term); without it they are wide-but-honest (docfiles ranges are
+        # tight either way — docids are assigned in partition order).
+        # append_index EXTENDS these from here on (_extend_file_manifests).
+        _write_segfiles_manifest(
+            out_dir, manifest_dir,
+            [os.path.join(data_root, f"batch={bi}", "kind=s")
+             for bi in range(n_batches)])
+        _write_docfiles_manifest(
+            out_dir, manifest_dir,
+            [os.path.join(data_root, f"batch={bi}", "kind=d")
+             for bi in range(n_batches)])
+        tick("file manifests", tmark)
         store.write_json_atomic(os.path.join(out_dir, "stats.json"), stats)
         return metrics
     finally:
@@ -672,6 +712,44 @@ def build_index(
             spark.conf.set("spark.sql.files.maxPartitionBytes", saved_mpb)
         if persisted:
             src.unpersist()
+
+
+_SEG_FILE_SCHEMA = ("bucket int, term string, df_seg int, sum_tf long, "
+                    "min_docid long, max_docid long, blob binary, "
+                    "skips binary, docid long, url string, doclen int, "
+                    "raw string")
+
+
+def _finalize_batch_segments(spark: SparkSession, store, batch_path: str,
+                             n_files: int) -> None:
+    """Rewrite one batch's ``kind=s`` dir term-range partitioned (disjoint
+    per-file term ranges, term-sorted rows, 4 MB row groups) — the layout
+    ``compact_index`` produces, established at build time so the segfiles
+    manifest prunes to ~1 file per query term from the first search. Only
+    the compressed posting blobs move (one read+write of ~bytes_blob);
+    the docmap files never do. Content is row-identical — file placement
+    is the only thing that changes (the bench's resume digest compares
+    sorted rows for exactly this reason). Crash-safe: the caller commits
+    the batch manifest only after this returns, so a crash mid-rewrite
+    leaves the batch invisible and resume redoes it wholesale."""
+    seg_dir = os.path.join(batch_path, "kind=s")
+    if not store.isdir(seg_dir):
+        return  # batch whose docs all analyzed to zero tokens
+    files = [os.path.join(seg_dir, f) for f in store.listdir(seg_dir)
+             if f.endswith(".parquet")]
+    if not files:
+        return
+    tmp = os.path.join(batch_path, "_seg_tmp")
+    (
+        spark.read.schema(_SEG_FILE_SCHEMA).parquet(*files)
+        .repartitionByRange(n_files, "term")
+        .sortWithinPartitions("term", "bucket", "min_docid")
+        .write.mode("overwrite")
+        .option("parquet.block.size", str(4 * 1024 * 1024))
+        .parquet(tmp)
+    )
+    store.rmtree(seg_dir)
+    store.rename(tmp, seg_dir)
 
 
 def _seg_meta(spark: SparkSession, batch_path: str):

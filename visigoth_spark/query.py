@@ -706,8 +706,13 @@ class SearchIndex:
             # top-k path: collect the (tiny) ranked ids, then hydrate with a
             # docid-pruned docmap scan — docmap files are docid-sorted with
             # small row groups, so the isin filter prunes at row-group level
-            # (two short jobs instead of one join over the whole docmap)
-            top = ordered.limit(k).collect()
+            # (two short jobs instead of one join over the whole docmap).
+            # Non-linear engines fetch 2k: kernels tie-extend their caps,
+            # so the k-boundary tie class (up to k extra rows) arrives
+            # here for the url re-tiebreak below (linear's order IS docid
+            # — no url ties to resolve)
+            fetch = k if engine == "linear" else 2 * k
+            top = ordered.limit(fetch).collect()
         if not top:
             return self._empty_result(include_raw)
         ids = [int(r["docid"]) for r in top]
@@ -715,13 +720,16 @@ class SearchIndex:
         # Ordering contract: the reference breaks exact-score ties on
         # Document.ID() — the NAME string, i.e. url ASC
         # (search_result.go:31-38 + entities_doc.go:12-14). Kernels select
-        # and pre-order the k-set on (score DESC, docid ASC); docid ≡ url
-        # order for pure batch builds and after compact_index, so there the
-        # contract holds end to end. For APPENDED indexes (docid = ingest
-        # order) the hydrated rows are re-tiebroken on url below — within
-        # the returned set the contract holds; only at the k-boundary can
-        # a tied row outside the k-set differ from strict url-order
-        # selection until compact_index restores url-ordered docids.
+        # the k-set on (score DESC, docid ASC) TIE-EXTENDED at the k
+        # boundary (<=2k rows, _head_k_with_ties); docid ≡ url order for
+        # pure batch builds and after compact_index, so there the contract
+        # holds end to end. For APPENDED indexes (docid = ingest order)
+        # the hydrated rows — including the boundary tie class — are
+        # re-tiebroken on url below and trimmed back to k, so the
+        # RETURNED SET matches the reference's url-order selection too.
+        # Residual: a tie class larger than k straddling the boundary is
+        # truncated to the docid-smallest 2k before hydration (bounded by
+        # design; exact again after compact_index).
         # result as a pandas-backed (Arrow) local relation: collect() on it
         # is jobless, so a driver-routed query runs ZERO Spark jobs end to
         # end (the distributed route reuses this block after its collect)
@@ -736,6 +744,9 @@ class SearchIndex:
             out_pd["raw"] = [doc_of[r["docid"]][1] for r in top]
             schema += ", raw string"
         out_pd = _retiebreak_on_url(out_pd, engine)
+        if k is not None and len(out_pd) > k:
+            # drop the boundary-tie over-fetch now that urls decided it
+            out_pd = out_pd.head(k)
         return self.spark.createDataFrame(out_pd, schema)
 
     def search_iter(self, query: str, engine: str = "bm25",
@@ -913,11 +924,13 @@ class SearchIndex:
             rows = by_qid[qid]
             if engine == "hits":
                 rows.sort(key=lambda r: (-r["hits"], r["docid"]))
+                rows = _tie_extended_slice(rows, "hits", k)
             elif engine == "linear":
                 rows.sort(key=lambda r: r["docid"])
+                rows = rows[:k]
             else:
                 rows.sort(key=lambda r: (-r["score"], r["docid"]))
-            rows = rows[:k]
+                rows = _tie_extended_slice(rows, "score", k)
             results.extend(
                 (qid, int(r["docid"]), float(r["score"]), int(r["hits"]))
                 for r in rows
@@ -949,6 +962,9 @@ class SearchIndex:
             by, asc = ["qid", "score", "url"], [True, False, True]
         out_pd = out_pd.sort_values(by, ascending=asc, kind="stable",
                                     ignore_index=True)
+        # trim each qid's boundary-tie over-fetch now that urls decided it
+        out_pd = out_pd.groupby("qid", sort=False).head(k).reset_index(
+            drop=True)
         return self.spark.createDataFrame(out_pd, schema)
 
     def _empty_batch_result(self, include_raw: bool = False) -> DataFrame:
@@ -964,12 +980,52 @@ class SearchIndex:
         return self.spark.createDataFrame([], schema)
 
 
+def _tie_extended_slice(rows: list, metric: str, k: int) -> list:
+    """List twin of _head_k_with_ties for search_many's per-qid merge:
+    ``rows`` is already sorted (metric DESC, docid ASC); keep the first k
+    plus rows tied with the k-th metric value, bounded to 2k total."""
+    if len(rows) <= k:
+        return rows
+    kth = rows[k - 1][metric]
+    n_keep = k
+    while n_keep < min(len(rows), 2 * k) and rows[n_keep][metric] == kth:
+        n_keep += 1
+    return rows[:n_keep]
+
+
+def _head_k_with_ties(out: pd.DataFrame, metric: str, k: int
+                      ) -> pd.DataFrame:
+    """Top-k by (metric DESC, docid ASC) PLUS every row tied with the
+    k-th metric value, bounded to 2k rows total (extras in docid order).
+
+    Why: the reference breaks exact-metric ties on Document.ID() — the
+    url string (search_result.go:31-38, entities_doc.go:12-14) — but
+    kernels only see docids, and on APPENDED indexes docid = ingest
+    order ≠ url order. Selecting exactly k rows by (metric, docid) could
+    therefore keep a tied row whose url sorts AFTER a dropped one. The
+    fix: over-fetch the boundary tie class, hydrate urls, re-select on
+    url (_retiebreak_on_url + head(k) in the callers). The 2k bound
+    keeps the per-bucket/collected row count k-proportional — a hits
+    query whose k-th value ties millions of docs (integer metric, head
+    terms) must not re-materialize its whole result set (the r2
+    uncapped-kernel regression). Beyond 2k the docid-smallest ties win —
+    documented residual, gone after compact_index restores url-ordered
+    docids."""
+    if len(out) <= k:
+        return out
+    out = out.sort_values([metric, "docid"], ascending=[False, True])
+    kth = out[metric].iloc[k - 1]
+    n_keep = int((out[metric].to_numpy() >= kth).sum())
+    return out.head(min(n_keep, 2 * k))
+
+
 def _retiebreak_on_url(out_pd: pd.DataFrame, engine: str) -> pd.DataFrame:
     """Reference tiebreak contract on the hydrated result set: exact-score
     ties break on Document.ID() = the url string (search_result.go:31-38,
     entities_doc.go:12-14). A no-op for pure-batch/compacted indexes where
     docid ≡ url order (rows arrive already so ordered); for appended
-    indexes this re-sorts the k hydrated rows — k rows, free."""
+    indexes this re-sorts the (tie-extended, <=2k) hydrated rows — the
+    callers trim back to k after."""
     if engine == "hits":
         by, asc = ["hits", "url"], [False, True]
     elif engine in ("linear", "noop_all"):
@@ -982,20 +1038,26 @@ def _retiebreak_on_url(out_pd: pd.DataFrame, engine: str) -> pd.DataFrame:
 
 def _order_and_head(allr: pd.DataFrame, engine: str, k: int | None) -> list:
     """Engine-order global top-k over a kernel-output frame — the
-    driver-side twin of orderBy(...).limit(k). Returns rows shaped like
-    the collected distributed result (dict access by column name)."""
+    driver-side twin of orderBy(...).limit(k), tie-extended at the k
+    boundary (<=2k rows) so the caller's url re-tiebreak can select the
+    reference's k-set on appended indexes. Returns rows shaped like the
+    collected distributed result (dict access by column name)."""
     if not len(allr):
         return []
     if engine == "hits":
         allr = allr.sort_values(["hits", "docid"],
                                 ascending=[False, True])
+        if k is not None and len(allr) > k:
+            allr = _head_k_with_ties(allr, "hits", k)
     elif engine == "linear":
         allr = allr.sort_values("docid")
+        if k is not None:
+            allr = allr.head(k)
     else:
         allr = allr.sort_values(["score", "docid"],
                                 ascending=[False, True])
-    if k is not None:
-        allr = allr.head(k)
+        if k is not None and len(allr) > k:
+            allr = _head_k_with_ties(allr, "score", k)
     return [
         {"docid": int(r.docid), "score": float(r.score),
          "hits": int(r.hits)}
@@ -1171,7 +1233,15 @@ def _wand_kernel_body(pdf: pd.DataFrame, terms: list[str],
         # only cost a little scoring work, never correctness.
         surv = np.flatnonzero(ub >= theta - abs(theta) * 1e-9)
         score_s = exact(surv)
-        order_idx = np.lexsort((cand[surv], -score_s))[:k]
+        order_idx = np.lexsort((cand[surv], -score_s))
+        if len(order_idx) > k:
+            # boundary-tie extension (see _head_k_with_ties): every row
+            # tied with the k-th EXACT score has UB >= score == kth >=
+            # theta, so it is provably inside surv — the extension never
+            # misses a tie the pruning dropped
+            kth = score_s[order_idx[k - 1]]
+            n_keep = min(int((score_s >= kth).sum()), 2 * k)
+            order_idx = order_idx[:n_keep]
         keep = surv[order_idx]
         score = score_s[order_idx]
     return pd.DataFrame(
@@ -1258,7 +1328,16 @@ def _or_kernel_body(pdf: pd.DataFrame, terms: list[str],
         surv = np.flatnonzero(ub >= theta - abs(theta) * 1e-9)
         sub = uniq[surv]  # already sorted (uniq is sorted, surv ascending)
         score_s = exact(sub)
-        order_idx = np.lexsort((sub, -score_s))[:k]
+        order_idx = np.lexsort((sub, -score_s))
+        if len(order_idx) > k:
+            # boundary-tie extension (UB >= exact, so ties of the k-th
+            # exact score always survive the theta pruning — see the
+            # WAND kernel's identical argument)
+            kth = score_s[order_idx[k - 1]]
+            n_keep = min(int((score_s >= kth).sum()), 2 * k)
+            order_idx = order_idx[:n_keep]
+        else:
+            order_idx = order_idx[:k]
         keep = surv[order_idx]
         score = score_s[order_idx]
     return pd.DataFrame(
@@ -1319,13 +1398,13 @@ def _decoded_body(decoded: dict, engine: str, terms: list[str],
              "hits": hits[keep].astype(np.int32)}
         )
         if k is not None and len(out) > k:
-            # per-bucket top-k cap (hits DESC, docid ASC): without it a
-            # head-term hits query materializes its ENTIRE per-bucket
-            # result set — ruinous on the collected search_many path at
-            # 10^12 docs. The global merge re-sorts, so capping each
-            # bucket at k is lossless for the global top-k.
-            out = out.sort_values(["hits", "docid"],
-                                  ascending=[False, True]).head(k)
+            # per-bucket top-k cap (hits DESC, docid ASC), tie-extended:
+            # without a cap a head-term hits query materializes its
+            # ENTIRE per-bucket result set — ruinous on the collected
+            # search_many path at 10^12 docs. The global merge re-sorts,
+            # so capping each bucket at k(+boundary ties, <=2k) is
+            # lossless for the url-tiebroken global top-k.
+            out = _head_k_with_ties(out, "hits", k)
         return out
 
     if engine == "bm25_or":
@@ -1353,8 +1432,7 @@ def _decoded_body(decoded: dict, engine: str, terms: list[str],
             {"docid": uniq, "score": score, "hits": hits.astype(np.int32)}
         )
         if k is not None and len(out) > k:
-            out = out.sort_values(["score", "docid"],
-                                  ascending=[False, True]).head(k)
+            out = _head_k_with_ties(out, "score", k)
         return out
 
     # AND engines: intersect, then score
@@ -1393,10 +1471,9 @@ def _decoded_body(decoded: dict, engine: str, terms: list[str],
          "hits": np.full(len(cand), len(terms), dtype=np.int32)}
     )
     if k is not None and len(out) > k:
-        # local top-k: keep k best (score DESC, docid ASC) per bucket
-        out = out.sort_values(
-            ["score", "docid"], ascending=[False, True]
-        ).head(k)
+        # local top-k: k best (score DESC, docid ASC) per bucket, plus
+        # boundary-tied rows (<=2k) for the url re-tiebreak
+        out = _head_k_with_ties(out, "score", k)
     return out
 
 
