@@ -204,6 +204,84 @@ class TestKBoundaryTiebreak:
             assert got == exp
 
 
+class TestSearchIndexRefresh:
+    """refresh(): committed maintenance becomes visible without
+    constructing a new SearchIndex; the hot-term cache stays warm for
+    terms the appended batches don't touch."""
+
+    def _setup(self, spark, tmp_path):
+        import pandas as pd
+
+        from visigoth_spark.build import build_index
+
+        pdf = generate_corpus(60)
+        out = str(tmp_path / "idx")
+        build_index(spark, _df(spark, pdf), out, num_partitions=2)
+        extra = pd.DataFrame({
+            "url": [f"zz-new-{i}" for i in range(5)],
+            "text": ["uniqtoken uniqtoken otherword"] * 5,
+            "lang": "es",
+        })
+        return pdf, out, extra
+
+    def test_appends_invisible_until_refresh_then_visible_warm(
+            self, spark, tmp_path):
+        from visigoth_spark.analysis import analyze_text
+        from visigoth_spark.build import append_index
+        from visigoth_spark.query import SearchIndex
+
+        pdf, out, extra = self._setup(spark, tmp_path)
+        idx = SearchIndex(spark, out)
+        # warm the hot-term cache for a term the append will NOT touch
+        warm_q = "curso"
+        pre = [r["url"] for r in
+               idx.search(warm_q, "bm25", k=5, route="driver").collect()]
+        warm_terms = set(analyze_text(warm_q, idx.analyzer))
+        assert warm_terms <= set(idx._term_cache)
+        new_term = analyze_text("uniqtoken", idx.analyzer)[0]
+
+        append_index(spark, _df(spark, extra), out, num_partitions=1)
+        # snapshot stability: the pinned instance serves the OLD state
+        assert len(idx) == 60
+        assert idx.search("uniqtoken", "bm25", k=5).count() == 0
+        assert [r["url"] for r in
+                idx.search(warm_q, "bm25", k=5,
+                           route="driver").collect()] == pre
+
+        got = idx.refresh()
+        assert got is idx
+        assert len(idx) == 65
+        # warm cache: untouched terms kept, appended terms evicted
+        assert warm_terms <= set(idx._term_cache)
+        assert new_term not in idx._term_cache
+        found = [r["url"] for r in
+                 idx.search("uniqtoken", "bm25", k=10).collect()]
+        assert len(found) == 5 and all(u.startswith("zz-new-") for u in found)
+        # and results for the warm term now reflect the new corpus stats
+        fresh = SearchIndex(spark, out)
+        assert [r["url"] for r in
+                idx.search(warm_q, "bm25", k=5, route="driver").collect()] \
+            == [r["url"] for r in
+                fresh.search(warm_q, "bm25", k=5, route="spark").collect()]
+
+    def test_merge_or_compact_evicts_everything(self, spark, tmp_path):
+        from visigoth_spark.build import append_index, merge_appends
+        from visigoth_spark.query import SearchIndex
+
+        pdf, out, extra = self._setup(spark, tmp_path)
+        append_index(spark, _df(spark, extra), out, num_partitions=1)
+        append_index(spark, _df(spark, extra.assign(
+            url="b-" + extra["url"])), out, num_partitions=1)
+        idx = SearchIndex(spark, out)
+        idx.search("curso", "bm25", k=5, route="driver").collect()
+        assert idx._term_cache
+        merge_appends(spark, out, num_partitions=1)
+        idx.refresh()
+        assert not idx._term_cache  # replaced batches -> full eviction
+        assert idx._term_cache_bytes == 0
+        assert idx.search("uniqtoken", "bm25", k=20).count() == 10
+
+
 class TestCatalogRenameGuard:
     def test_rename_refuses_unregistered_destination_dir(
             self, spark, tmp_path):

@@ -131,19 +131,26 @@ class _RemoteTermdict:
             self._files.append((pf, ranges))
 
     def lookup(self, terms: list[str]) -> dict[str, int]:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
         out = {t: 0 for t in terms}
+        tset = pa.array(terms, type=pa.string())
         for pf, ranges in self._files:
             need = [
                 i for i, r in enumerate(ranges)
                 if r is None or any(r[0] <= t <= r[1] for t in terms)
             ]
             for i in need:
+                # Arrow-side probe: is_in + filter stay in C, so only the
+                # <= len(terms) matched rows ever cross into Python (a
+                # 1 MB row group of a pathological vocabulary would
+                # otherwise be marshalled wholesale per query)
                 tbl = pf.read_row_group(i, columns=["term", "df"])
-                tcol = tbl["term"].to_pylist()
-                dcol = tbl["df"].to_pylist()
-                for t, d in zip(tcol, dcol):
-                    if t in out:
-                        out[t] += int(d)
+                hit = tbl.filter(pc.is_in(tbl["term"], value_set=tset))
+                for t, d in zip(hit["term"].to_pylist(),
+                                hit["df"].to_pylist()):
+                    out[t] += int(d)
         return out
 
     def close(self) -> None:
@@ -237,6 +244,13 @@ class SearchIndex:
         # object store through the driver).
         self._local_root = self._store.local_path(index_dir)
         self._remote_td = None  # lazy _RemoteTermdict for URI indexes
+        self._open_snapshot()
+
+    def _open_snapshot(self) -> None:
+        """Read the index's committed state (stats, visible batches, scan
+        DataFrames, file-range pruners) — the snapshot this instance
+        serves until :meth:`refresh`."""
+        spark, index_dir = self.spark, self.index_dir
         self.stats = load_stats(index_dir)
         data_root = f"{index_dir}/data"
         # plan from the batch MANIFESTS, not a directory listing: an orphan
@@ -313,6 +327,92 @@ class SearchIndex:
         self._seg_prune = _RangePruner(None, "term")
         self._cached = True
         return self
+
+    def refresh(self) -> "SearchIndex":
+        """Re-open the index's committed state for long-lived serving.
+
+        A SearchIndex pins the manifest snapshot read at construction —
+        correct snapshot isolation (a mid-query maintenance commit can
+        never tear results), but a serving process previously had to
+        construct a NEW instance (re-list files, re-read footers, cold
+        hot-term cache) to see a committed append/merge/compact. refresh()
+        re-reads the visible-batch set, swaps the scan DataFrames and
+        file-range pruners, closes the remote-termdict streams (footers
+        re-parsed lazily against the new files), and evicts the hot-term
+        cache SELECTIVELY:
+
+        - pure appends (every previously visible batch manifest unchanged,
+          only new batches added): evict only terms present in the ADDED
+          batches' segment files — appends never rewrite committed
+          batches, so every other term's decoded arrays are still exact;
+        - anything else (merge replaced batches, compaction reassigned
+          docids, shrink): evict everything.
+
+        Executor-cached mode (:meth:`cache`) re-pins the new snapshot.
+        No-op cheap when nothing changed (manifest re-read only).
+        The reference never needs this — its MemoryIndex readers share
+        the writer's map under an RWMutex (index_memory_index.go:11-18);
+        snapshot-plus-refresh is the object-store equivalent."""
+        old = {m["batch"]: m for m in self._manifests}
+        was_cached = self._cached
+        if was_cached:
+            self._postings.unpersist()
+            self._docmap.unpersist()
+            self._cached = False
+        if self._remote_td is not None:
+            self._remote_td.close()
+            self._remote_td = None
+        self._open_snapshot()
+        new = {m["batch"]: m for m in self._manifests}
+        pure_append = set(old) <= set(new) and all(
+            new[b] == old[b] for b in old
+        )
+        if pure_append:
+            added = [b for b in new if b not in old]
+            if added and self._term_cache:
+                self._evict_terms(self._added_batch_terms(added))
+        else:
+            self._term_cache.clear()
+            self._term_cache_bytes = 0
+        if was_cached:
+            self.cache()
+        return self
+
+    def _added_batch_terms(self, batches: list[int]) -> set[str] | None:
+        """Distinct terms in the given batches' segment files (driver-side
+        pyarrow read of the term column — appended batches are small by
+        the maintenance model). None when unreadable: caller must evict
+        everything (never serve stale arrays on uncertainty)."""
+        if self._local_root is None:
+            return None
+        try:
+            import pyarrow.dataset as ds
+
+            paths = []
+            for b in batches:
+                d = os.path.join(self._local_root, "data",
+                                 f"batch={b}", "kind=s")
+                if os.path.isdir(d):
+                    paths.extend(os.path.join(d, fn)
+                                 for fn in sorted(os.listdir(d))
+                                 if fn.endswith(".parquet"))
+            if not paths:
+                return set()
+            tbl = ds.dataset(paths, format="parquet").to_table(
+                columns=["term"])
+            return set(tbl["term"].to_pylist())
+        except Exception:
+            return None
+
+    def _evict_terms(self, terms: set[str] | None) -> None:
+        if terms is None:  # couldn't attribute -> full eviction
+            self._term_cache.clear()
+            self._term_cache_bytes = 0
+            return
+        for t in terms:
+            hit = self._term_cache.pop(t, None)
+            if hit is not None:
+                self._term_cache_bytes -= sum(a.nbytes for a in hit)
 
     _SEG_COLS = ["term", "bucket", "min_docid", "blob", "skips"]
 
