@@ -62,6 +62,25 @@ QUERY_SUITE = [
 ]
 
 
+def _planned_per_query(ix) -> float | None:
+    """Median number of segment files the segfiles manifest admits per
+    suite query — driver-side arithmetic over the same range check
+    _seg_scan runs before planning. None when the index has no manifest."""
+    from visigoth_spark.analysis import analyze_text
+
+    if not ix._segfiles:
+        return None
+    planned = []
+    for _, q, _ in QUERY_SUITE:
+        terms = analyze_text(q, ix.analyzer)
+        planned.append(sum(
+            1 for e in ix._segfiles
+            if e.get("term_min") is None
+            or any(e["term_min"] <= t <= e["term_max"] for t in terms)
+        ))
+    return round(statistics.median(planned), 1)
+
+
 def parse_sf(path: str) -> float:
     m = re.search(r"sf([0-9.]+)", path)
     return float(m.group(1)) if m else 0.1
@@ -454,6 +473,14 @@ def main() -> None:
     from visigoth_spark.query import SearchIndex
 
     idx = SearchIndex(spark, idx_hi)
+    # plan-level pruning on the NEVER-maintained fresh build: build_index
+    # finalizes segments term-range partitioned and writes segfiles.json,
+    # so file-level pruning works from the first query (r3 gap — a fresh
+    # index scheduled one split per corpus partition per query)
+    fresh_index_info = {
+        "seg_files_total": len(idx._segfiles or []),
+        "seg_files_planned_per_query": _planned_per_query(idx),
+    }
     # Two passes, per-query best: the host's deliverable compute swings
     # 2-4x on a seconds timescale (BASELINE.md), and a single pass regularly
     # lands half its queries in a starved moment. Best-of-2 at ~10s extra
@@ -540,29 +567,13 @@ def main() -> None:
                 queries_c[name] = dt
     bm25_lat_c = [queries_c[name] for name, _, eng in QUERY_SUITE
                   if eng == "bm25"]
-    # plan-level pruning evidence: how many segment files the manifest
-    # admits per suite query vs the total on disk (driver-side arithmetic
-    # over segfiles.json — the same check _seg_scan runs before planning)
-    from visigoth_spark.analysis import analyze_text
-
-    planned = []
-    if idx_c._segfiles:
-        for _, q, _ in QUERY_SUITE:
-            terms = analyze_text(q, idx_c.analyzer)
-            planned.append(sum(
-                1 for e in idx_c._segfiles
-                if e.get("term_min") is None
-                or any(e["term_min"] <= t <= e["term_max"] for t in terms)
-            ))
     compact_info = {
         "wall": round(compact_wall, 2),
         "docs_per_sec": round(n_docs / compact_wall, 1),
         "n_segments": cm.n_segments,
         "bytes_blob": cm.bytes_blob,
         "seg_files_total": len(idx_c._segfiles or []),
-        "seg_files_planned_per_query": (
-            round(statistics.median(planned), 1) if planned else None
-        ),
+        "seg_files_planned_per_query": _planned_per_query(idx_c),
         "queries": queries_c,
         "bm25_p50": round(statistics.median(bm25_lat_c), 4),
     }
@@ -661,6 +672,7 @@ def main() -> None:
                                      "queries": queries_dist},
         "batch": {"queries": len(batch_qs), "wall": round(batch_wall, 3),
                   "qps": round(batch_qps, 1)},
+        "fresh_index": fresh_index_info,
         "merge": merge_info,
         "compact": compact_info,
         "resume": resume_info,
@@ -668,12 +680,29 @@ def main() -> None:
         "index": index_info,
     }
     write_bench_md(result)
-    # durable copy FIRST: the driver's stdout tail-capture truncated the
-    # (long) JSON line in round 2, so the canonical result also lands in a
-    # file the driver/judge can always read
+    # durable copy FIRST: the canonical FULL result lands in a file the
+    # driver/judge can always read (and BENCH.md renders it)
     with open(os.path.join(_REPO, "bench_out.json"), "w") as f:
         json.dump(result, f, indent=2)
-    print(json.dumps(result))
+    # the driver records only the last ~1.2 KB of stdout ("tail" in
+    # BENCH_r*.json) — rounds 2 and 3 printed the full result here and the
+    # driver's parse started mid-JSON (parsed: null). The FINAL stdout
+    # line is therefore a COMPACT record with exactly the contract keys
+    # (metric/value/unit/queries/sf) plus headline numbers, guaranteed to
+    # fit the tail window; the full result is bench_out.json.
+    compact = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": result["unit"],
+        "queries": result["queries"],
+        "sf": result["sf"],
+        "n_docs": result["n_docs"],
+        "build_docs_per_sec_hi": result["build"]["docs_per_sec_hi"],
+        "scaling_efficiency": result["build"]["scaling_efficiency"],
+        "bm25_p50": result["bm25_latency"]["p50"],
+        "full": "bench_out.json",
+    }
+    print(json.dumps(compact), flush=True)
 
 
 def write_bench_md(r: dict) -> None:
@@ -703,7 +732,8 @@ pairs in the JSON. Details + host-noise evidence: BASELINE.md.
 | BM25 p50: appended (pre-merge) vs merged | {r['merge']['bm25_p50_appended']} s -> {r['merge']['bm25_p50_merged']} s | same index, best of 2 passes each |
 | compaction (force-merge) wall | {r['compact']['wall']} s | full rewrite: decode -> url-order remap -> re-encode, local[{b['cores_hi']}] |
 | BM25 p50 on compacted layout | {r['compact']['bm25_p50']} s | term-range segment files, best of 2 passes |
-| segment files planned per query | {r['compact']['seg_files_planned_per_query']} of {r['compact']['seg_files_total']} | segfiles.json file-range manifest, median over the suite |
+| segment files planned per query, FRESH build | {r['fresh_index']['seg_files_planned_per_query']} of {r['fresh_index']['seg_files_total']} | never-merged index: build-time term-range finalize + segfiles.json (r4) |
+| segment files planned per query, compacted | {r['compact']['seg_files_planned_per_query']} of {r['compact']['seg_files_total']} | segfiles.json file-range manifest, median over the suite |
 | batched (8-checkpoint) cold build wall | {r['resume']['cold_batched_wall']} s | n_batches=8, local[{b['cores_hi']}] |
 | kill+resume: resumed-build wall | {r['resume']['resume_wall']} s | SIGKILL at {r['resume']['killed_after_sec']} s ({r['resume']['batches_committed_at_kill']}/8 batches committed); resume completes only the rest |
 | resumed ≡ cold segments | {r['resume']['segments_identical_to_cold']} | content digest over every posting segment row |

@@ -30,14 +30,44 @@ META_SCHEMA = "width int, height int, channels int, brightness double"
 FEAT_DIM = 16
 
 
+def _try_import_pil():
+    try:
+        from PIL import Image  # noqa: F401  (optional cluster dependency)
+
+        return Image
+    except Exception:
+        return None
+
+
+_PIL = _try_import_pil()
+
+
 def decode_payload(payload: bytes, kind: str = "image"):
-    """REAL decoder slot. Sandbox has no PIL/ffmpeg/soundfile — plug them in
-    here on a cluster image; until then the deterministic stub below is the
-    only implementation and this raises."""
+    """REAL decoder slot — self-activating where the cluster image ships
+    codecs. With Pillow importable, ``kind="image"`` decodes the payload
+    and returns the same tuple shape as :func:`stub_meta`
+    ``(width, height, channels, brightness)``, so the plumbing above is
+    decoder-agnostic (swap ``stub_meta`` for this in ``image_meta``'s
+    generator on such a cluster). Without codecs (this sandbox: no
+    PIL/ffmpeg/soundfile) it raises — the deterministic stubs below keep
+    the plumbing end-to-end testable."""
+    if kind == "image" and _PIL is not None:
+        import io
+
+        img = _PIL.open(io.BytesIO(payload))
+        img.load()
+        channels = len(img.getbands())
+        # brightness in [0, 1]: mean of the luminance-converted image
+        gray = img.convert("L")
+        hist = gray.histogram()
+        total = sum(hist) or 1
+        mean = sum(i * c for i, c in enumerate(hist)) / total
+        return img.width, img.height, channels, round(mean / 255.0, 6)
     raise NotImplementedError(
-        "real image/audio decode requires codec libraries not present in "
-        "this environment; use the *_stub functions (deterministic fake) "
-        "or install PIL/ffmpeg and implement decode_payload"
+        "real decode for this kind requires codec libraries not present "
+        "in this environment (PIL for images; ffmpeg/soundfile for av); "
+        "use the *_stub functions (deterministic fake) until they are "
+        "installed"
     )
 
 
