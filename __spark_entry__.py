@@ -4,7 +4,7 @@
   (visigoth_spark.build) over the sf0.001 documents table and runs a top-k
   BM25 search through the per-bucket intersection kernel (visigoth_spark.
   query).
-- ``queries()`` / ``oracle_sql()``: 29 paired entries — engine semantics
+- ``queries()`` / ``oracle_sql()``: 30 paired entries — engine semantics
   (hits incl. duplicate-token weighting / linear / missing-term early exit /
   match-all / noop-zero / AND-BM25 / OR-BM25 / term df / corpus stats)
   re-expressed as relational plans, plus ``vg_bm25_stemmed`` (the REAL
@@ -13,7 +13,10 @@
   ``vg_bm25_compacted`` (build + two appends + segment compaction —
   force-merge — vs the same ingest-path-invariant oracle),
   ``vg_bm25_merged`` (same ingest but tiered MINOR compaction,
-  ``merge_appends``: file-layout-only merge, scores byte-identical), plus
+  ``merge_appends``: file-layout-only merge, scores byte-identical),
+  ``vg_bm25_tie_boundary`` (constructed exact-score tie class straddling
+  k on an APPENDED index — pins the reference url tiebreak contract at
+  the k boundary), plus
   the training-data pipeline operators (dedup exact / jaccard with a live
   shingle-df cap / minhash-LSH with a bucket cap / simhash /
   embedding-cosine near-dup via sign-LSH, ANN cosine + IVF top-k, lang-id,

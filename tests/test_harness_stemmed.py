@@ -40,3 +40,28 @@ def test_query_stems_match_analyzer():
     assert tuple(sorted(set(analyze_text("tables data", analyzer)))) == (
         STEM_QUERY_STEMS
     )
+
+
+def test_tie_boundary_tokens_are_stem_fixed_points():
+    """vg_bm25_tie_boundary's oracle SQL matches raw tokens directly (no
+    stem-mapping rows): valid only while the constructed tokens are
+    Snowball-es fixed points and survive the analyzer unchanged."""
+    from visigoth_spark.analysis import AnalyzerConfig, analyze_text
+    from visigoth_spark.stemmer_es import stem_vocab
+
+    assert stem_vocab({"zorp", "blik"}) == {"zorp": "zorp", "blik": "blik"}
+    analyzer = AnalyzerConfig(stopwords=frozenset({"the", "a"}), stem=True)
+    assert analyze_text("zorp blik", analyzer) == ["zorp", "blik"]
+    assert analyze_text("zorp zorp zorp blik", analyzer) == [
+        "zorp", "zorp", "zorp", "blik"]
+
+
+def test_tie_boundary_straddles_k():
+    """The constructed corpus must actually put an exact tie across the
+    k=4 boundary: 1 winner + 6 identical docs, k selects 3 of 6."""
+    from visigoth_spark.harness import _tie_docs
+
+    docs = _tie_docs()
+    assert len(docs) == 7
+    texts = [t for _, t in docs[1:]]
+    assert len(set(texts)) == 1  # identical -> exact score tie

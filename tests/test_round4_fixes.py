@@ -308,6 +308,24 @@ class TestCatalogRenameGuard:
         assert cat.search("b", "curso", k=3).count() > 0
 
 
+class TestKZero:
+    def test_k_zero_returns_empty_not_degenerate(self, spark, tmp_path):
+        """LIMIT 0 semantics: k=0 must return an empty frame on every
+        engine/route instead of tripping the kernels' k-boundary
+        arithmetic (argpartition/iloc[k-1])."""
+        from visigoth_spark.query import SearchIndex
+
+        out = str(tmp_path / "idx")
+        build_index(spark, _df(spark, generate_corpus(30)), out,
+                    num_partitions=1)
+        idx = SearchIndex(spark, out)
+        for engine in ("bm25", "bm25_or", "hits", "linear", "noop_all"):
+            for route in ("driver", "spark"):
+                assert idx.search("curso", engine, k=0,
+                                  route=route).count() == 0
+        assert idx.search_many(["curso"], "bm25", k=0).count() == 0
+
+
 class TestUnboundedBroadcastGate:
     def test_k_none_broadcast_gated_on_match_estimate(
             self, spark, tmp_path, monkeypatch):

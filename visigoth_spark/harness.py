@@ -537,6 +537,116 @@ def q_bm25_object_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TIE_BASE = 10_000_000  # constructed-doc ids, far above any fixture doc_id
+
+
+def _tie_docs() -> list[tuple[int, str]]:
+    """One clear winner + six IDENTICAL docs: an exact BM25 score tie
+    class. The tokens ('zorp', 'blik') never occur in the fixture corpus
+    and are Snowball-es fixed points (stem == token, pinned by
+    tests/test_harness_stemmed.py), so the tie class is fully controlled
+    and the oracle needs no stem-mapping rows for them."""
+    return [(_TIE_BASE, "zorp zorp zorp blik")] + [
+        (_TIE_BASE + i, "zorp blik") for i in range(1, 7)
+    ]
+
+
+def q_bm25_tie_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-BOUNDARY TIEBREAK under driver correctness: the documents table
+    plus a constructed exact-score tie class (6 identical docs + 1
+    winner), ingested so the tied docs' DOCIDS land out of url order
+    (build gets ids {+2,+4,+6}, append gets {0,+1,+3,+5}). The query
+    'zorp blik' at k=4 returns the winner + 3 of the 6 tied docs; the
+    reference contract (search_result.go:31-38 + entities_doc.go:12-14)
+    selects the url-smallest ties — {+1,+2,+3} — while a (score, docid)
+    selection would return {+2,+4,+6}. A hash match against the DuckDB
+    oracle (ORDER BY score DESC, doc_id ASC LIMIT 4 over the same
+    extended corpus) therefore pins the tie-extended over-fetch +
+    url re-selection end-to-end on an APPENDED index."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from visigoth_spark.analysis import AnalyzerConfig
+    from visigoth_spark.build import append_index, build_index
+    from visigoth_spark.query import SearchIndex
+
+    analyzer = AnalyzerConfig(stopwords=frozenset({"the", "a"}), stem=True)
+    key = hashlib.md5(("tie-v1:" + sf_dir).encode()).hexdigest()[:10]
+    out = os.path.join(tempfile.gettempdir(), "vg_tie_harness", key, "idx")
+    done = os.path.join(os.path.dirname(out), "BUILT")
+    if not os.path.exists(done):
+        docs = _docs(spark, sf_dir).select(
+            F.format_string("doc-%012d", F.col("doc_id")).alias("url"),
+            "text",
+        )
+        rows = [(f"doc-{i:012d}", t) for i, t in _tie_docs()]
+        first = spark.createDataFrame(
+            [r for r in rows if int(r[0][-1]) in (2, 4, 6)],
+            "url string, text string")
+        second = spark.createDataFrame(
+            [r for r in rows if int(r[0][-1]) in (0, 1, 3, 5)],
+            "url string, text string")
+        shutil.rmtree(out, ignore_errors=True)
+        build_index(spark, docs.unionByName(first), out,
+                    analyzer=analyzer, num_partitions=4)
+        append_index(spark, second, out, analyzer=analyzer,
+                     num_partitions=1)
+        with open(done, "w") as f:
+            f.write("ok")
+    idx = SearchIndex(spark, out, analyzer=analyzer)
+    res = idx.search("zorp blik", engine="bm25", k=4)
+    return res.select(
+        F.expr("cast(substring(url, 5, 12) as bigint)").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+def _sql_bm25_tie_boundary() -> str:
+    vals = ",\n        ".join(f"({i}, '{t}')" for i, t in _tie_docs())
+    return f"""
+WITH corpus(doc_id, text) AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT * FROM (VALUES
+        {vals}
+    )
+),
+raw AS (
+    SELECT doc_id, t FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(lower(text), '[^\\p{{L}}\\p{{N}}]+'))
+                   AS t
+        FROM corpus
+    ) WHERE t <> '' AND t NOT IN ('the', 'a')
+),
+stats AS (
+    SELECT (SELECT COUNT(*) FROM corpus) AS n_docs,
+           COUNT(*) * 1.0 / (SELECT COUNT(*) FROM corpus) AS avgdl
+    FROM raw
+),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM raw GROUP BY doc_id),
+tf AS (
+    SELECT doc_id, t AS s, COUNT(*) AS tf FROM raw
+    WHERE t IN ('zorp', 'blik') GROUP BY doc_id, t
+),
+dfs AS (SELECT s, COUNT(*) AS df FROM tf GROUP BY s)
+SELECT doc_id, score FROM (
+    SELECT tf.doc_id,
+           ROUND(SUM(
+               LN((stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5) + 1.0)
+               * (tf.tf * (1.2 + 1.0))
+               / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+           ), 6) AS score,
+           COUNT(*) AS nt
+    FROM tf JOIN dfs USING (s) JOIN dl ON tf.doc_id = dl.doc_id, stats
+    GROUP BY tf.doc_id
+) WHERE nt = 2
+ORDER BY score DESC, doc_id ASC LIMIT 4
+"""
+
+
 STEM_QUERY_STEMS = ("dat", "tabl")  # analyze("tables data") under Snowball-es
 
 
@@ -1143,6 +1253,7 @@ QUERIES = {
     "vg_bm25_compacted": q_bm25_compacted,
     "vg_bm25_merged": q_bm25_merged,
     "vg_bm25_object_store": q_bm25_object_store,
+    "vg_bm25_tie_boundary": q_bm25_tie_boundary,
     "vg_bm25_or_topk": q_bm25_or_topk,
     "vg_hits_duplicate_tokens": q_hits_duplicate_tokens,
     "vg_missing_term_early_exit": q_missing_term_early_exit,
@@ -1172,6 +1283,7 @@ ORACLES = {
     "vg_doclen_stats": SQL_DOCLEN_STATS,
     "vg_bm25_topk": SQL_BM25,
     # vg_bm25_stemmed is added lazily by get_oracles() (import-time cost)
+    "vg_bm25_tie_boundary": _sql_bm25_tie_boundary(),
     "vg_bm25_or_topk": SQL_BM25_OR,
     "vg_hits_duplicate_tokens": SQL_HITS_DUP,
     "vg_missing_term_early_exit": SQL_MISSING_TERM,

@@ -715,6 +715,10 @@ class SearchIndex:
             raise ValueError(
                 "include_raw requires an index built with store_raw=True"
             )
+        if k is not None and k <= 0:
+            # LIMIT 0 semantics; also keeps the kernels' k-boundary
+            # arithmetic (argpartition/iloc[k-1]) out of degenerate range
+            return self._empty_result(include_raw)
         if engine == "noop_zero":
             return self._empty_result(include_raw)
         if engine == "noop_all":
@@ -887,6 +891,8 @@ class SearchIndex:
             raise ValueError(f"unsupported batch engine {engine!r}")
         if route not in ("auto", "driver", "spark"):
             raise ValueError(f"unknown route {route!r}")
+        if k <= 0:  # LIMIT 0 semantics (see search())
+            return self._empty_batch_result(include_raw)
         if include_raw and not self.has_raw:
             raise ValueError(
                 "include_raw requires an index built with store_raw=True"
