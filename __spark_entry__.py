@@ -4,7 +4,7 @@
   (visigoth_spark.build) over the sf0.001 documents table and runs a top-k
   BM25 search through the per-bucket intersection kernel (visigoth_spark.
   query).
-- ``queries()`` / ``oracle_sql()``: 30 paired entries — engine semantics
+- ``queries()`` / ``oracle_sql()``: 32 paired entries — engine semantics
   (hits incl. duplicate-token weighting / linear / missing-term early exit /
   match-all / noop-zero / AND-BM25 / OR-BM25 / term df / corpus stats)
   re-expressed as relational plans, plus ``vg_bm25_stemmed`` (the REAL
@@ -20,7 +20,8 @@
   the training-data pipeline operators (dedup exact / jaccard with a live
   shingle-df cap / minhash-LSH with a bucket cap / simhash /
   embedding-cosine near-dup via sign-LSH, ANN cosine + IVF top-k, lang-id,
-  quality, token counts, md5 + winnowing fingerprints, windowed event
+  quality, Gopher-style repetition filters, per-domain corpus stats,
+  token counts, md5 + winnowing fingerprints, windowed event
   aggregation and gap sessionization (batch forms of the Structured
   Streaming shapes; the stateful applyInPandasWithState twin is pinned
   stream ≡ batch in pytest),

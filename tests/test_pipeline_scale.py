@@ -239,3 +239,54 @@ class TestWinnowing:
         n_fp = P.winnow_fingerprints(df, n=3, w=4).count()
         # ~1/w of the shingle count (2/(w+1) expected density for random)
         assert n_fp < n_sh / 2
+
+
+class TestQualityRepetition:
+    def test_constructed_docs_exact(self, spark):
+        rows = [
+            # 8 tokens, bigram "spam spam" x7 of 7 bigrams, dup 7 of 8
+            (0, "spam spam spam spam spam spam spam spam"),
+            # 7 distinct tokens, all 6 bigrams unique: top = 1/6 = 16.7%
+            # <= 18% (a 6-token doc would FAIL: 1/5 = 20% — the integer
+            # rule is exact, with no small-doc grace)
+            (1, "one two three four five six seven"),
+            # single token: no bigrams, no dups
+            (2, "solo"),
+            # empty after tokenization
+            (3, "!!! ..."),
+            # top bigram "a b" 2x of 4 bigrams (50% > 18%), dup 2 of 5
+            (4, "a b c a b"),
+        ]
+        out = {r["doc_id"]: r for r in
+               P.quality_repetition(_docs_df(spark, rows)).collect()}
+        assert (out[0]["n_tokens"], out[0]["dup_tokens"],
+                out[0]["n_bigrams"], out[0]["top_bigram_count"],
+                out[0]["repetition_ok"]) == (8, 7, 7, 7, False)
+        assert (out[1]["dup_tokens"], out[1]["top_bigram_count"],
+                out[1]["repetition_ok"]) == (0, 1, True)
+        assert (out[2]["n_tokens"], out[2]["n_bigrams"],
+                out[2]["repetition_ok"]) == (1, 0, True)
+        assert (out[3]["n_tokens"], out[3]["repetition_ok"]) == (0, True)
+        assert (out[4]["n_bigrams"], out[4]["top_bigram_count"],
+                out[4]["repetition_ok"]) == (4, 2, False)
+
+    def test_no_collect_and_doc_keyed_shuffle(self, spark):
+        # the plan must contain no collect_list and aggregate partially
+        plan = P.quality_repetition(_docs_df(spark, [(0, "a b a")])) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "collect_list" not in plan
+        assert "partial" in plan.lower()  # map-side combine on the counts
+
+
+class TestDomainStats:
+    def test_exact(self, spark):
+        df = spark.createDataFrame(
+            [(0, "a b c", "en", "s1"), (1, "d e", "es", "s1"),
+             (2, "f", "en", "s2")],
+            "doc_id long, text string, lang string, source string")
+        out = {r["source"]: r for r in P.domain_stats(df).collect()}
+        assert out["s1"]["n_docs"] == 2
+        assert out["s1"]["total_tokens"] == 5
+        assert out["s1"]["n_langs"] == 2
+        assert out["s1"]["total_chars"] == len("a b c") + len("d e")
+        assert out["s2"]["n_docs"] == 1 and out["s2"]["n_langs"] == 1

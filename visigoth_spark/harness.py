@@ -960,6 +960,52 @@ FROM documents d JOIN tl ON d.doc_id = tl.doc_id
 """
 
 
+def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return P.quality_repetition(_docs(spark, sf_dir))
+
+
+SQL_QUALITY_REPETITION = f"""
+WITH {SQL_TOKLIST},
+base AS (
+    SELECT doc_id, l, len(l) AS n_tokens,
+           len(l) - len(list_distinct(l)) AS dup_tokens
+    FROM tl
+),
+bg AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(l)),
+                                 i -> l[i] || ' ' || l[i + 1])) AS bg
+    FROM tl WHERE len(l) >= 2
+),
+cnt AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY doc_id, bg),
+agg AS (SELECT doc_id, MAX(c) AS top, SUM(c) AS tot FROM cnt GROUP BY doc_id)
+SELECT b.doc_id,
+       CAST(b.n_tokens AS BIGINT) AS n_tokens,
+       CAST(b.dup_tokens AS BIGINT) AS dup_tokens,
+       CAST(COALESCE(a.tot, 0) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(a.top, 0) AS BIGINT) AS top_bigram_count,
+       (COALESCE(a.top, 0) * 100 <= COALESCE(a.tot, 0) * 18)
+           AND (b.dup_tokens * 100 <= b.n_tokens * 30) AS repetition_ok
+FROM base b LEFT JOIN agg a USING (doc_id)
+"""
+
+
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return P.domain_stats(_docs(spark, sf_dir))
+
+
+SQL_DOMAIN_STATS = f"""
+WITH {SQL_TOKLIST}
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(tl.l)) AS BIGINT) AS total_tokens,
+       CAST(COUNT(DISTINCT d.lang) AS BIGINT) AS n_langs,
+       CAST(SUM(len(d.text)) AS BIGINT) AS total_chars
+FROM documents d JOIN tl USING (doc_id)
+GROUP BY d.source
+"""
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.fingerprint(_docs(spark, sf_dir))
 
@@ -1267,6 +1313,8 @@ QUERIES = {
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
     "token_count": q_token_count,
+    "quality_repetition": q_quality_repetition,
+    "domain_stats": q_domain_stats,
     "doc_fingerprint": q_doc_fingerprint,
     "doc_winnow": q_doc_winnow,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -1297,6 +1345,8 @@ ORACLES = {
     "lang_id": SQL_LANG_ID,
     "quality_score": SQL_QUALITY,
     "token_count": SQL_TOKEN_COUNT,
+    "quality_repetition": SQL_QUALITY_REPETITION,
+    "domain_stats": SQL_DOMAIN_STATS,
     "doc_fingerprint": SQL_FINGERPRINT,
     "doc_winnow": SQL_WINNOW,
     "ann_cosine_topk": SQL_ANN_COSINE,

@@ -664,6 +664,87 @@ def token_counts(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def quality_repetition(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1 — the
+    web-corpus quality rules that drop boilerplate/spam by REPEATED
+    content rather than by vocabulary), adapted to this tokenizer:
+
+    - ``dup_tokens``: n_tokens - distinct tokens (the duplicate-word mass)
+    - ``top_bigram_count`` / ``n_bigrams``: occurrences of the document's
+      most frequent bigram vs total bigrams
+    - ``repetition_ok``: Gopher-shaped acceptance — top bigram <= 18% of
+      bigrams AND duplicate tokens <= 30% of tokens, computed in INTEGER
+      arithmetic (count*100 <= total*threshold) so the flag is exact and
+      engine-independent (no float rounding at the decision boundary).
+
+    Plan shape (100 TB): dup_tokens is pure array math in the scan
+    projection — zero shuffle; bigram counting is posexplode →
+    groupBy(id, bigram) → groupBy(id), both keyed by the doc id (+bigram)
+    with map-side partial aggregation — per-group size is one document's
+    bigrams, so no cross-doc skew axis exists."""
+    toks = with_tokens(df, text_col)
+    n_tok = F.size("tokens").cast("long")
+    base = toks.select(
+        F.col(id_col),
+        F.col("tokens"),
+        n_tok.alias("n_tokens"),
+        (n_tok - F.size(F.array_distinct("tokens"))).cast("long")
+        .alias("dup_tokens"),
+    )
+    bigrams = F.when(
+        F.size("tokens") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("tokens") - 1),
+            lambda i: F.concat_ws(" ", F.slice("tokens", i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counts = (
+        base.select(F.col(id_col), F.explode(bigrams).alias("bg"))
+        .groupBy(id_col, "bg").count()
+        .groupBy(id_col)
+        .agg(F.max("count").alias("top"), F.sum("count").alias("tot"))
+    )
+    ok = (
+        (F.coalesce(F.col("top"), F.lit(0)) * 100
+         <= F.coalesce(F.col("tot"), F.lit(0)) * 18)
+        & (F.col("dup_tokens") * 100 <= F.col("n_tokens") * 30)
+    )
+    return (
+        base.drop("tokens")
+        .join(counts, id_col, "left")
+        .select(
+            F.col(id_col), "n_tokens", "dup_tokens",
+            F.coalesce(F.col("tot"), F.lit(0)).cast("long")
+            .alias("n_bigrams"),
+            F.coalesce(F.col("top"), F.lit(0)).cast("long")
+            .alias("top_bigram_count"),
+            ok.alias("repetition_ok"),
+        )
+    )
+
+
+def domain_stats(df: DataFrame, domain_col: str = "source",
+                 id_col: str = "doc_id", text_col: str = "text",
+                 lang_col: str = "lang") -> DataFrame:
+    """Per-domain (source) corpus statistics — the aggregation behind
+    domain sampling weights in a web-corpus training pipeline (how much
+    of each source to keep, per CCNet/Gopher-style mixing): doc count,
+    total analyzed tokens, distinct languages, total characters. ONE
+    groupBy(domain) with map-side partial aggregation — the single
+    shuffle carries one row per (partition, domain), never per doc."""
+    toks = with_tokens(df, text_col)
+    return (
+        toks.groupBy(domain_col)
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.size("tokens")).cast("long").alias("total_tokens"),
+            F.countDistinct(lang_col).cast("long").alias("n_langs"),
+            F.sum(F.length(text_col)).cast("long").alias("total_chars"),
+        )
+    )
+
+
 def fingerprint(df: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """Document fingerprint: md5 of whitespace-normalized lowercase text
