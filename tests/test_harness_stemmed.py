@@ -42,6 +42,15 @@ def test_query_stems_match_analyzer():
     )
 
 
+def test_batched_query_stems_match_analyzer():
+    from visigoth_spark.analysis import AnalyzerConfig, analyze_text
+    from visigoth_spark.harness import BATCH_QUERIES, BATCH_QUERY_STEMS
+
+    analyzer = AnalyzerConfig(stopwords=frozenset({"the", "a"}), stem=True)
+    for q, stems in zip(BATCH_QUERIES, BATCH_QUERY_STEMS):
+        assert tuple(sorted(set(analyze_text(q, analyzer)))) == stems
+
+
 def test_tie_boundary_tokens_are_stem_fixed_points():
     """vg_bm25_tie_boundary's oracle SQL matches raw tokens directly (no
     stem-mapping rows): valid only while the constructed tokens are

@@ -684,12 +684,13 @@ def _stem_mapping() -> dict[str, str]:
         return fallback
 
 
-def _sql_bm25_stemmed() -> str:
+def _sql_bm25_stemmed(query_stems: tuple[str, ...] = None) -> str:
     mapping = _stem_mapping()
     vals = ",\n        ".join(
         f"('{t}', '{s}')" for t, s in sorted(mapping.items())
     )
-    stems = ", ".join(f"'{s}'" for s in STEM_QUERY_STEMS)
+    query_stems = query_stems or STEM_QUERY_STEMS
+    stems = ", ".join(f"'{s}'" for s in query_stems)
     return f"""
 WITH m(tok, stem) AS (VALUES
         {vals}
@@ -727,9 +728,54 @@ SELECT doc_id, score FROM (
            COUNT(*) AS nt
     FROM tf JOIN dfs USING (s) JOIN dl ON tf.doc_id = dl.doc_id, stats
     GROUP BY tf.doc_id
-) WHERE nt = {len(STEM_QUERY_STEMS)}
+) WHERE nt = {len(query_stems)}
 ORDER BY score DESC, doc_id ASC LIMIT 10
 """
+
+
+BATCH_QUERIES = ("tables data", "hash join")  # analyzed stems below
+BATCH_QUERY_STEMS = (("dat", "tabl"), ("hash", "join"))
+
+
+def q_bm25_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCHED serving path under driver correctness: ``search_many``
+    runs BOTH queries in (at most) one Spark job — union postings scan,
+    multi-query per-bucket kernel, per-query routing, one hydration —
+    and each qid's block must hash-match the SAME per-query stemmed
+    DuckDB oracle unioned with its qid. Reuses vg_bm25_stemmed's cached
+    index (identical build inputs)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from visigoth_spark.analysis import AnalyzerConfig
+    from visigoth_spark.build import build_index
+    from visigoth_spark.query import SearchIndex
+
+    analyzer = AnalyzerConfig(stopwords=frozenset({"the", "a"}), stem=True)
+    docs = _docs(spark, sf_dir).select(
+        F.format_string("doc-%012d", F.col("doc_id")).alias("url"), "text"
+    )
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    out = os.path.join(tempfile.gettempdir(), "vg_stem_harness", key, "idx")
+    if not os.path.exists(os.path.join(out, "stats.json")):
+        build_index(spark, docs, out, analyzer=analyzer, num_partitions=4)
+    idx = SearchIndex(spark, out, analyzer=analyzer)
+    res = idx.search_many(list(BATCH_QUERIES), engine="bm25", k=10)
+    return res.select(
+        "qid",
+        F.expr("cast(substring(url, 5, 12) as bigint)").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+def sql_bm25_batched() -> str:
+    parts = [
+        f"SELECT {qid} AS qid, doc_id, score FROM (\n"
+        + _sql_bm25_stemmed(stems) + "\n)"
+        for qid, stems in enumerate(BATCH_QUERY_STEMS)
+    ]
+    return "\nUNION ALL\n".join(parts)
 
 
 _SQL_BM25_STEMMED_CACHE: str | None = None
@@ -759,6 +805,8 @@ def get_oracles() -> dict[str, str]:
     # ...and the file://-URI index (storage backend changes nothing about
     # the computed postings/scores; only the control-plane I/O path)
     d["vg_bm25_object_store"] = sql_bm25_stemmed()
+    # batched search_many: per-query stemmed oracles unioned with qid
+    d["vg_bm25_batched"] = sql_bm25_batched()
     return d
 
 
@@ -1300,6 +1348,7 @@ QUERIES = {
     "vg_bm25_merged": q_bm25_merged,
     "vg_bm25_object_store": q_bm25_object_store,
     "vg_bm25_tie_boundary": q_bm25_tie_boundary,
+    "vg_bm25_batched": q_bm25_batched,
     "vg_bm25_or_topk": q_bm25_or_topk,
     "vg_hits_duplicate_tokens": q_hits_duplicate_tokens,
     "vg_missing_term_early_exit": q_missing_term_early_exit,
