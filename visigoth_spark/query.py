@@ -687,6 +687,46 @@ class SearchIndex:
         """docid -> url hydration (≙ MemoryIndex.Document)."""
         return self._docmap.filter(F.col("docid").isin([int(d) for d in docids]))
 
+    def explain_query(self, query: str, engine: str = "bm25",
+                      k: int | None = 10) -> dict:
+        """Plan-level diagnostics WITHOUT running the query — what the
+        planner would do: analyzed terms, per-term dfs, the route the
+        cost model picks (driver hot-path vs distributed), the
+        k-boundary over-fetch, how many segment files the range manifest
+        admits (vs total), and the early-exit decision. The serving-ops
+        answer to `.explain("formatted")` for a layer whose planning
+        happens before Catalyst sees anything."""
+        tokens = analyze_text(query, self.analyzer)
+        terms = sorted(set(tokens))
+        dfs = self.term_df(terms) if terms else {}
+        empty = (
+            not terms
+            or (engine in _AND_BM25 or engine == "linear")
+            and any(dfs[t] == 0 for t in terms)
+            or engine == "bm25_or" and all(dfs[t] == 0 for t in terms)
+        )
+        pruned = self._seg_prune.prune(terms) if terms else None
+        route = ("none (plan-time empty)" if empty else
+                 "driver" if k is not None and self._route_driver(dfs, "auto")
+                 else "spark")
+        return {
+            "query": query,
+            "engine": engine,
+            "k": k,
+            "tokens": tokens,
+            "terms": terms,
+            "dfs": dfs,
+            "early_exit_empty": bool(empty),
+            "route": route,
+            "fetch_rows": (None if empty or k is None
+                           else (k if engine == "linear" else 2 * k)),
+            "seg_files_planned": (None if pruned is None else len(pruned)),
+            "seg_files_total": (None if self._segfiles is None
+                                else len(self._segfiles)),
+            "cached_terms": [t for t in terms if t in self._term_cache],
+            "n_docs": self.stats["n_docs"],
+        }
+
     # ---- engines ------------------------------------------------------------
     def search(self, query: str, engine: str = "bm25", k: int | None = 10,
                include_raw: bool = False, route: str = "auto") -> DataFrame:
