@@ -229,10 +229,33 @@ def cmd_gc(argv: list[str]) -> int:
     p.add_argument("--index", required=True)
     a = p.parse_args(argv)
     from visigoth_spark.build import gc_index
+    from visigoth_spark.storage import is_uri
 
-    if "://" in a.index:
+    if is_uri(a.index):
         _session("visigoth-gc")  # URI stores need the Spark JVM
     print(json.dumps({"reclaimed": gc_index(a.index)}))
+    return 0
+
+
+def cmd_explain(argv: list[str]) -> int:
+    """Plan-level diagnostics for a query WITHOUT running it
+    (SearchIndex.explain_query): route decision, per-term dfs,
+    manifest-admitted segment file count, early-exit, over-fetch."""
+    p = argparse.ArgumentParser(prog="cli explain")
+    p.add_argument("--index", required=True)
+    p.add_argument("--engine", default="bm25")
+    p.add_argument("-k", type=int, default=10)
+    p.add_argument("--no-stem", action="store_true")
+    p.add_argument("query", nargs="+")
+    a = p.parse_args(argv)
+    from visigoth_spark.analysis import AnalyzerConfig, DEFAULT_ANALYZER
+    from visigoth_spark.query import SearchIndex
+
+    spark = _session("visigoth-explain")
+    analyzer = (AnalyzerConfig(stem=False) if a.no_stem else DEFAULT_ANALYZER)
+    idx = SearchIndex(spark, a.index, analyzer=analyzer)
+    print(json.dumps(
+        idx.explain_query(" ".join(a.query), a.engine, a.k), indent=2))
     return 0
 
 
@@ -249,7 +272,8 @@ def cmd_inspect(argv: list[str]) -> int:
 def main() -> int:
     cmds = {"build": cmd_build, "query": cmd_query,
             "compact": cmd_compact, "merge": cmd_merge,
-            "gc": cmd_gc, "inspect": cmd_inspect}
+            "gc": cmd_gc, "inspect": cmd_inspect,
+            "explain": cmd_explain}
     if len(sys.argv) < 2 or sys.argv[1] not in cmds:
         print(f"usage: cli.py {{{'|'.join(cmds)}}} ...", file=sys.stderr)
         return 2
