@@ -210,6 +210,29 @@ class TestHadoopStoreLifecycle:
         rows = idx_r.search_many(["curso", "java"], "bm25", k=5).collect()
         assert len(rows) > 0
 
+    def test_refresh_on_uri(self, spark, tmp_path, corpus_pdf):
+        """SearchIndex.refresh() over a file:// URI: the snapshot re-open
+        (manifest re-read, pruner swap, remote-termdict stream close)
+        runs through HadoopStore; the hot-term cache is empty on
+        non-local indexes so eviction degenerates to a no-op."""
+        uri = "file://" + str(tmp_path / "rf_idx")
+        build_index(spark, _df(spark, corpus_pdf.iloc[:100]), uri,
+                    num_partitions=2)
+        idx = SearchIndex(spark, uri)
+        pre = [r["url"] for r in idx.search("curso", "bm25", k=5).collect()]
+        append_index(spark, _df(spark, corpus_pdf.iloc[100:140]), uri,
+                     num_partitions=1)
+        assert len(idx) == 100  # pinned snapshot
+        idx.refresh()
+        assert len(idx) == 140
+        post = [r["url"] for r in
+                idx.search("curso", "bm25", k=5).collect()]
+        fresh = [r["url"] for r in
+                 SearchIndex(spark, uri)
+                 .search("curso", "bm25", k=5).collect()]
+        assert post == fresh
+        assert pre  # sanity: the query matched something
+
     def test_resume_on_uri(self, spark, tmp_path, corpus_pdf):
         """Batched build with resume on a URI index: the per-batch
         manifests + _SUCCESS markers round-trip through the store."""
