@@ -264,7 +264,10 @@ class TestSearchIndexRefresh:
             == [r["url"] for r in
                 fresh.search(warm_q, "bm25", k=5, route="spark").collect()]
 
-    def test_merge_or_compact_evicts_everything(self, spark, tmp_path):
+    def test_pure_retier_merge_keeps_cache(self, spark, tmp_path):
+        """merge_appends over batches the snapshot already decoded is a
+        file-layout-only re-tier (segment rows byte-identical): the
+        hot-term cache survives refresh()."""
         from visigoth_spark.build import append_index, merge_appends
         from visigoth_spark.query import SearchIndex
 
@@ -272,14 +275,60 @@ class TestSearchIndexRefresh:
         append_index(spark, _df(spark, extra), out, num_partitions=1)
         append_index(spark, _df(spark, extra.assign(
             url="b-" + extra["url"])), out, num_partitions=1)
+        idx = SearchIndex(spark, out)  # snapshot SEES all three batches
+        idx.search("curso", "bm25", k=5, route="driver").collect()
+        idx.search("uniqtoken", "bm25", k=20, route="driver").collect()
+        cached = set(idx._term_cache)
+        assert cached
+        merge_appends(spark, out, num_partitions=1)
+        idx.refresh()
+        assert set(idx._term_cache) == cached  # pure re-tier: kept
+        # and the warm cache still serves results identical to a cold one
+        fresh = SearchIndex(spark, out)
+        for q in ("curso", "uniqtoken"):
+            assert [r["url"] for r in
+                    idx.search(q, "bm25", k=10, route="driver").collect()] \
+                == [r["url"] for r in
+                    fresh.search(q, "bm25", k=10, route="spark").collect()]
+
+    def test_merge_folding_post_snapshot_appends_evicts_their_terms(
+            self, spark, tmp_path):
+        from visigoth_spark.analysis import analyze_text
+        from visigoth_spark.build import append_index, merge_appends
+        from visigoth_spark.query import SearchIndex
+
+        pdf, out, extra = self._setup(spark, tmp_path)
+        idx = SearchIndex(spark, out)  # snapshot: batch 0 only
+        idx.search("curso", "bm25", k=5, route="driver").collect()
+        warm = set(analyze_text("curso", idx.analyzer))
+        assert warm <= set(idx._term_cache)
+        # two appends AFTER the snapshot, then a merge folding them
+        append_index(spark, _df(spark, extra), out, num_partitions=1)
+        append_index(spark, _df(spark, extra.assign(
+            url="b-" + extra["url"])), out, num_partitions=1)
+        merge_appends(spark, out, num_partitions=1)
+        idx.refresh()
+        # the merged batch holds content the snapshot never decoded: its
+        # terms are evicted; the untouched warm term survives
+        new_term = analyze_text("uniqtoken", idx.analyzer)[0]
+        assert new_term not in idx._term_cache
+        assert warm <= set(idx._term_cache)
+        assert idx.search("uniqtoken", "bm25", k=20).count() == 10
+
+    def test_compaction_evicts_everything(self, spark, tmp_path):
+        from visigoth_spark.build import append_index, compact_index
+        from visigoth_spark.query import SearchIndex
+
+        pdf, out, extra = self._setup(spark, tmp_path)
+        append_index(spark, _df(spark, extra), out, num_partitions=1)
         idx = SearchIndex(spark, out)
         idx.search("curso", "bm25", k=5, route="driver").collect()
         assert idx._term_cache
-        merge_appends(spark, out, num_partitions=1)
+        compact_index(spark, out, num_partitions=2)
         idx.refresh()
-        assert not idx._term_cache  # replaced batches -> full eviction
+        assert not idx._term_cache  # docids reassigned -> full eviction
         assert idx._term_cache_bytes == 0
-        assert idx.search("uniqtoken", "bm25", k=20).count() == 10
+        assert idx.search("uniqtoken", "bm25", k=20).count() == 5
 
 
 class TestCatalogRenameGuard:

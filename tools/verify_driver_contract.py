@@ -25,7 +25,8 @@ sys.path.insert(0, _REPO)
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
 HARNESS_CACHES = ("vg_stem_harness", "vg_compact_harness",
-                  "vg_merge_harness", "vg_uri_harness")
+                  "vg_merge_harness", "vg_uri_harness",
+                  "vg_tie_harness")
 
 
 def main() -> int:

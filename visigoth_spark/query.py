@@ -345,8 +345,15 @@ class SearchIndex:
           only new batches added): evict only terms present in the ADDED
           batches' segment files — appends never rewrite committed
           batches, so every other term's decoded arrays are still exact;
-        - anything else (merge replaced batches, compaction reassigned
-          docids, shrink): evict everything.
+        - minor merges (merge_appends): a merged batch whose ``replaces``
+          covers only batches this snapshot had already decoded is a pure
+          re-tier — file layout only, segment rows byte-identical — so
+          cached arrays stay valid; a merged batch that folded in
+          POST-snapshot appends evicts the terms in its files (its dir
+          holds the union, so attribution over-approximates safely);
+        - compaction / any change to a previously committed batch
+          manifest (docids reassigned, content rewritten): evict
+          everything.
 
         Executor-cached mode (:meth:`cache`) re-pins the new snapshot.
         No-op cheap when nothing changed (manifest re-read only).
@@ -363,20 +370,56 @@ class SearchIndex:
             self._remote_td.close()
             self._remote_td = None
         self._open_snapshot()
-        new = {m["batch"]: m for m in self._manifests}
-        pure_append = set(old) <= set(new) and all(
-            new[b] == old[b] for b in old
-        )
-        if pure_append:
-            added = [b for b in new if b not in old]
-            if added and self._term_cache:
-                self._evict_terms(self._added_batch_terms(added))
-        else:
-            self._term_cache.clear()
-            self._term_cache_bytes = 0
+        if self._term_cache:
+            self._refresh_evict(old)
         if was_cached:
             self.cache()
         return self
+
+    def _refresh_evict(self, old: dict) -> None:
+        """Cache-eviction decision for refresh() (rules in its docstring).
+        ``old`` = the previous snapshot's visible {batch: manifest}."""
+        from visigoth_spark.build import _batch_manifests
+
+        def _full():
+            self._term_cache.clear()
+            self._term_cache_bytes = 0
+
+        try:
+            all_new = {m["batch"]: m
+                       for m in _batch_manifests(self.index_dir)}
+        except (FileNotFoundError, KeyError):
+            return _full()
+        # every batch this snapshot decoded must be accounted for: either
+        # still committed UNCHANGED, or merged away (listed in a visible
+        # batch's ``replaces`` — the re-tier preserves its segment rows
+        # byte-identically; GC may have deleted its manifest already).
+        # Compaction satisfies neither (batch manifests rewritten/removed
+        # with no replaces lineage) -> full eviction.
+        replaced_by_new: set[int] = set()
+        for m in self._manifests:
+            replaced_by_new.update(m.get("replaces", []))
+        for b, man in old.items():
+            if b in all_new:
+                if all_new[b] != man:
+                    return _full()
+            elif b not in replaced_by_new:
+                return _full()
+        # batches contributing content the cache has not decoded: plain
+        # appends, and merged batches that folded in post-snapshot
+        # appends. A merged batch whose replaces set is covered by the
+        # old snapshot is a pure re-tier of already-decoded rows.
+        fresh = []
+        for m in self._manifests:
+            b = m["batch"]
+            if b in old:
+                continue
+            repl = set(m.get("replaces", []))
+            if repl and repl <= set(old):
+                continue  # file layout only; segment rows byte-identical
+            fresh.append(b)
+        if fresh:
+            self._evict_terms(self._added_batch_terms(fresh))
 
     def _added_batch_terms(self, batches: list[int]) -> set[str] | None:
         """Distinct terms in the given batches' segment files (driver-side
