@@ -290,3 +290,50 @@ class TestDomainStats:
         assert out["s1"]["n_langs"] == 2
         assert out["s1"]["total_chars"] == len("a b c") + len("d e")
         assert out["s2"]["n_docs"] == 1 and out["s2"]["n_langs"] == 1
+
+
+class TestConnectedComponents:
+    def _cc(self, spark, pairs, nodes, **kw):
+        pairs_df = spark.createDataFrame(pairs, "id_a long, id_b long")
+        nodes_df = spark.createDataFrame([(n,) for n in nodes],
+                                         "doc_id long")
+        out = P.connected_components(pairs_df, nodes_df, **kw)
+        got = {r["doc_id"]: r["cluster_id"] for r in out.collect()}
+        P.unpersist_deps(out)
+        return got
+
+    def test_cliques_chains_singletons(self, spark):
+        pairs = [(1, 2), (2, 3),            # triangle-ish chain -> min 1
+                 (10, 11), (11, 12), (12, 13), (13, 14),  # 5-chain -> 10
+                 (20, 21)]                  # pair -> 20
+        nodes = [1, 2, 3, 10, 11, 12, 13, 14, 20, 21, 99]  # 99 singleton
+        got = self._cc(spark, pairs, nodes)
+        assert got == {1: 1, 2: 1, 3: 1,
+                       10: 10, 11: 10, 12: 10, 13: 10, 14: 10,
+                       20: 20, 21: 20, 99: 99}
+
+    def test_long_chain_needs_multiple_rounds(self, spark):
+        # a 12-node path: min-label propagation needs ~diameter rounds;
+        # convergence must reach the global min at the far end
+        n = 12
+        pairs = [(i, i + 1) for i in range(n - 1)]
+        got = self._cc(spark, pairs, list(range(n)))
+        assert set(got.values()) == {0}
+
+    def test_planted_near_dups_cluster_together(self, spark):
+        # three copies of one text + unrelated docs: LSH pairs ->
+        # components puts the copies in ONE cluster keyed by min id
+        import pandas as pd
+
+        texts = ["fila columna mesa dato valor orden grupo clave"] * 3 + [
+            f"texto distinto numero {i} palabras unicas aqui{i}"
+            for i in range(7)
+        ]
+        df = spark.createDataFrame(pd.DataFrame({
+            "doc_id": range(10), "text": texts}))
+        pairs = P.minhash_lsh_pairs(df, num_hashes=8, band_size=2)
+        got = {r["doc_id"]: r["cluster_id"] for r in
+               P.connected_components(pairs, df).collect()}
+        P.unpersist_deps(pairs)
+        assert got[0] == got[1] == got[2] == 0
+        assert all(got[i] != 0 for i in range(3, 10))

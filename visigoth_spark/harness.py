@@ -903,6 +903,38 @@ WHERE a.doc_id < b.doc_id
 SQL_MINHASH = _sql_minhash()
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING end-to-end: MinHash-LSH candidate pairs (same
+    parameters as ``dedup_minhash_lsh``) fed through iterative min-label
+    propagation (pipeline.connected_components) — every doc labeled with
+    its component's min doc_id. The oracle computes the same fixpoint as
+    a DuckDB RECURSIVE reachability closure, so a hash match pins the
+    distributed iterative algorithm (convergence included) against an
+    exact declarative twin."""
+    docs = _docs(spark, sf_dir)
+    pairs = P.minhash_lsh_pairs(docs, max_bucket_size=LSH_MAX_BUCKET)
+    out = P.connected_components(pairs, docs)
+    P.unpersist_deps(pairs)
+    return out
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE
+pairs AS (SELECT * FROM ({SQL_MINHASH})),
+edges AS (
+    SELECT id_a AS x, id_b AS y FROM pairs
+    UNION
+    SELECT id_b AS x, id_a AS y FROM pairs
+),
+reach(x, node) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT r.x, e.y FROM reach r JOIN edges e ON r.node = e.x
+)
+SELECT x AS doc_id, MIN(node) AS cluster_id FROM reach GROUP BY x
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.simhash64(_docs(spark, sf_dir))
 
@@ -1357,6 +1389,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_clusters": q_dedup_clusters,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
     "lang_id": q_lang_id,
@@ -1389,6 +1422,7 @@ ORACLES = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_ngram_jaccard": SQL_JACCARD,
     "dedup_minhash_lsh": SQL_MINHASH,
+    "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "dedup_simhash": SQL_SIMHASH,
     "dedup_embedding": SQL_DEDUP_EMBEDDING,
     "lang_id": SQL_LANG_ID,

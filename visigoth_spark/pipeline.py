@@ -211,6 +211,71 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     return out
 
 
+def connected_components(pairs: DataFrame, nodes: DataFrame,
+                         id_col: str = "doc_id", a_col: str = "id_a",
+                         b_col: str = "id_b", max_iter: int = 20
+                         ) -> DataFrame:
+    """Near-duplicate CLUSTERING: (id, cluster_id = min node id of the
+    connected component) over a candidate-pair graph — the step after
+    LSH/embedding pair generation that turns pairwise evidence into
+    keep/drop decisions (keep ``cluster_id == id``, drop the rest).
+    Singletons (no pair) cluster with themselves.
+
+    Algorithm: min-label propagation — each round every node takes the
+    min of its own label and its neighbors' labels; stop when a round
+    changes nothing. Rounds needed = graph diameter; near-dup graphs are
+    clique/star-shaped (LSH buckets pair all members directly), so 2-4
+    rounds in practice; ``max_iter`` bounds adversarial chains (where the
+    alternating large-star/small-star variant — Kiveris et al. 2014 —
+    would be the next tool). Per round: one join keyed by node id + one
+    min-aggregation; the only shuffled state is (node, label) — 2 longs a
+    node; edges are persisted once and reused every round.
+
+    Each round's frame is ``localCheckpoint``-ed: persist alone keeps the
+    full LOGICAL plan, and because every round references the previous
+    labels twice (neighbor lookup + merge) the plan DOUBLES per round —
+    Spark OOMs rendering it long before the data is big. Checkpointing
+    truncates lineage so the plan stays O(1) per round. On a cluster
+    where executor loss must be survivable mid-computation, swap in
+    reliable ``checkpoint()`` with a checkpoint dir — same shape,
+    durable blocks."""
+    edges = (
+        pairs.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
+        .union(pairs.select(F.col(b_col).alias("x"),
+                            F.col(a_col).alias("y")))
+        .distinct()
+        .persist()
+    )
+    lbl = nodes.select(
+        F.col(id_col).alias("x"), F.col(id_col).cast("long").alias("lbl")
+    ).localCheckpoint()
+    try:
+        for _ in range(max_iter):
+            nbr_min = (
+                edges.join(
+                    lbl.select(F.col("x").alias("y"),
+                               F.col("lbl").alias("nlbl")), "y")
+                .groupBy("x").agg(F.min("nlbl").alias("cand"))
+            )
+            merged = (
+                lbl.join(nbr_min, "x", "left")
+                .select(
+                    "x", "lbl",
+                    F.least(F.col("lbl"),
+                            F.coalesce("cand", F.col("lbl"))).alias("new"),
+                )
+                .localCheckpoint()
+            )
+            n_changed = merged.filter(F.col("new") < F.col("lbl")).count()
+            lbl = merged.select("x", F.col("new").alias("lbl"))
+            if n_changed == 0:
+                break
+        return lbl.select(F.col("x").alias(id_col),
+                          F.col("lbl").alias("cluster_id"))
+    finally:
+        edges.unpersist()
+
+
 def simhash64(df: DataFrame, id_col: str = "doc_id",
               text_col: str = "text", bits: int = 60) -> DataFrame:
     """SimHash fingerprint per doc: (id, simhash) over token md5-60bit
