@@ -39,11 +39,20 @@ sys.path.insert(0, REPO)
 
 def run_soak(spark, out_dir: str, epochs: int, docs_per_epoch: int,
              merge_every: int, gc_every: int, num_partitions: int = 2,
-             query: str = "curso java") -> dict:
+             query: str = "curso java", compact_every: int = 0) -> dict:
     """Drive the maintenance loop; returns per-epoch series + summary.
-    Asserts nothing itself — callers pick their bounds."""
+    Asserts nothing itself — callers pick their bounds.
+
+    ``compact_every``: run the MAJOR compaction every N epochs. Minor
+    merges bound the batch/file counts but are file-layout-only — each
+    append permanently adds ``num_partitions`` buckets, so the query
+    kernel's per-bucket fan-out grows one tier per append until a
+    compaction re-buckets (the first 60-epoch soak measured exactly
+    that: structural counters flat, query p50 drifting with the bucket
+    count). The full steady-state story is merge-often + compact-rarely."""
     from visigoth_spark import storage as vstore
-    from visigoth_spark.build import _visible_batches, gc_index, load_stats
+    from visigoth_spark.build import (_visible_batches, compact_index,
+                                      gc_index, load_stats)
     from visigoth_spark.corpus import generate_corpus
     from visigoth_spark.query import SearchIndex
     from visigoth_spark.streaming import foreach_batch_indexer
@@ -61,6 +70,9 @@ def run_soak(spark, out_dir: str, epochs: int, docs_per_epoch: int,
         total += docs_per_epoch
         if gc_every and epoch and epoch % gc_every == 0:
             gc_index(out_dir)
+        if compact_every and epoch and epoch % compact_every == 0:
+            compact_index(spark, out_dir,
+                          num_partitions=num_partitions * 4)
         vis = _visible_batches(out_dir)
         man_dir = os.path.join(out_dir, "_manifests")
         man_bytes = sum(store.getsize(os.path.join(man_dir, f))
@@ -91,6 +103,7 @@ def run_soak(spark, out_dir: str, epochs: int, docs_per_epoch: int,
         "epochs": epochs,
         "docs_per_epoch": docs_per_epoch,
         "merge_every": merge_every,
+        "compact_every": compact_every,
         "n_docs": st["n_docs"],
         "expected_docs": total,
         "max_visible_batches": max(s["visible_batches"] for s in series),
@@ -111,6 +124,9 @@ def main() -> None:
     ap.add_argument("--docs", type=int, default=10_000)
     ap.add_argument("--merge-every", type=int, default=8)
     ap.add_argument("--gc-every", type=int, default=4)
+    ap.add_argument("--compact-every", type=int, default=0,
+                    help="MAJOR compaction every N epochs (0 = never); "
+                         "re-buckets — see run_soak docstring")
     ap.add_argument("--partitions", type=int, default=4)
     ap.add_argument("--out", default=None,
                     help="index dir (default: fresh tmp under /dev/shm)")
@@ -133,7 +149,8 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     t0 = time.time()
     summary = run_soak(spark, out, args.epochs, args.docs,
-                       args.merge_every, args.gc_every, args.partitions)
+                       args.merge_every, args.gc_every, args.partitions,
+                       compact_every=args.compact_every)
     summary["wall_sec"] = round(time.time() - t0, 1)
     full = dict(summary)
     summary.pop("series")
