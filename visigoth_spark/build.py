@@ -64,7 +64,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from visigoth_spark.analysis import AnalyzerConfig, DEFAULT_ANALYZER, analyze_flat
-from visigoth_spark.codec import encode_groups
+from visigoth_spark.codec import encode_groups, encode_positions_groups
 from visigoth_spark import storage as vstore
 
 # one fused output schema: segment rows (kind='s') + docmap rows (kind='d').
@@ -73,11 +73,11 @@ from visigoth_spark import storage as vstore
 OUT_SCHEMA = (
     "kind string, bucket int, term string, df_seg int, sum_tf long, "
     "min_docid long, max_docid long, blob binary, skips binary, "
-    "docid long, url string, doclen int, raw string"
+    "docid long, url string, doclen int, raw string, pos_blob binary"
 )
 
 _SEG_COLS = ["term", "df_seg", "sum_tf", "min_docid", "max_docid",
-             "blob", "skips"]
+             "blob", "skips", "pos_blob"]
 _DOC_COLS = ["docid", "url", "doclen", "raw"]
 
 
@@ -284,16 +284,24 @@ def _partition_offsets(src: DataFrame) -> dict[int, int]:
 
 
 def _seg_frame(terms: np.ndarray, docids: np.ndarray, tfs: np.ndarray,
-               dls: np.ndarray, bucket: int) -> pd.DataFrame:
+               dls: np.ndarray, bucket: int,
+               positions: np.ndarray | None = None) -> pd.DataFrame:
     """Encode one partition's accumulated (term, docid, tf, doclen) pairs
     into segment rows. Inputs must be sorted by (term, docid); find group
-    boundaries vectorized, run the multi-group varbyte encoder once."""
+    boundaries vectorized, run the multi-group varbyte encoder once.
+    ``positions``, when given, is the flat per-occurrence position array
+    (pairs tiling it in the same (term, docid) order, ascending within a
+    pair) — encoded as the parallel ``pos_blob`` stream (codec.py)."""
     change = np.empty(len(terms), dtype=bool)
     change[0] = True
     change[1:] = terms[1:] != terms[:-1]
     starts = np.flatnonzero(change)
     ends = np.append(starts[1:], len(terms))
     blobs, skips = encode_groups(starts, docids, tfs, dls)
+    if positions is not None:
+        pos_blobs = encode_positions_groups(starts, tfs, positions)
+    else:
+        pos_blobs = None
     # per-group sum_tf via segmented reduction (groups tile the array)
     sum_tf = np.add.reduceat(tfs, starts)
     n = len(starts)
@@ -312,6 +320,8 @@ def _seg_frame(terms: np.ndarray, docids: np.ndarray, tfs: np.ndarray,
             "url": np.full(n, "", dtype=object),
             "doclen": np.zeros(n, dtype=np.int32),
             "raw": np.full(n, None, dtype=object),
+            "pos_blob": (pos_blobs if pos_blobs is not None
+                         else np.full(n, None, dtype=object)),
         }
     )
 
@@ -335,13 +345,15 @@ def _doc_frame(docids: np.ndarray, urls: np.ndarray, lens: np.ndarray,
             "doclen": lens.astype(np.int32),
             "raw": (raws if raws is not None
                     else np.full(n, None, dtype=object)),
+            "pos_blob": np.full(n, None, dtype=object),
         }
     )
 
 
 def _fused_generator(offsets: dict[int, int], analyzer: AnalyzerConfig,
                      flush_docs: int = 500_000, bucket_base: int = 0,
-                     index_col: str = "text", raw_col: str | None = None):
+                     index_col: str = "text", raw_col: str | None = None,
+                     store_positions: bool = False):
     """mapInPandas fn: the whole per-partition build. Emits docmap rows as
     input batches stream through, accumulates (term, docid, tf, doclen)
     pairs, and encodes all of the partition's segments in one vectorized
@@ -371,7 +383,7 @@ def _fused_generator(offsets: dict[int, int], analyzer: AnalyzerConfig,
             if not acc:
                 return None
             if len(acc) == 1:
-                t, d, tf, dl = acc[0]
+                t, d, tf, dl, pos = acc[0]
             else:
                 t = np.concatenate([a[0] for a in acc])
                 d = np.concatenate([a[1] for a in acc])
@@ -379,10 +391,27 @@ def _fused_generator(offsets: dict[int, int], analyzer: AnalyzerConfig,
                 dl = np.concatenate([a[3] for a in acc])
                 # cross-batch merge: re-sort the (distinct-pair) groups
                 order = np.lexsort((d, t))
+                if store_positions:
+                    # gather each pair's variable-length position run into
+                    # the new pair order (runs never merge: a doc lives in
+                    # exactly one input batch)
+                    pos_cat = np.concatenate([a[4] for a in acc])
+                    src_off = np.zeros(len(tf), dtype=np.int64)
+                    np.cumsum(tf[:-1], out=src_off[1:])
+                    tf_o = tf[order]
+                    out_starts = np.zeros(len(tf_o), dtype=np.int64)
+                    np.cumsum(tf_o[:-1], out=out_starts[1:])
+                    total = int(tf.sum())
+                    idx = (np.repeat(src_off[order], tf_o)
+                           + np.arange(total)
+                           - np.repeat(out_starts, tf_o))
+                    pos = pos_cat[idx]
+                else:
+                    pos = None
                 t, d, tf, dl = t[order], d[order], tf[order], dl[order]
             acc = []
             acc_docs = 0
-            return _seg_frame(t, d, tf, dl, bucket)
+            return _seg_frame(t, d, tf, dl, bucket, positions=pos)
 
         for pdf in iterator:
             n = len(pdf)
@@ -414,13 +443,32 @@ def _fused_generator(offsets: dict[int, int], analyzer: AnalyzerConfig,
             vocab_sorted = vocab[vorder]
             local = np.repeat(docids - docids[0], lens)
             rkey = rank_of[codes] * n + local
-            uniq, counts = np.unique(rkey, return_counts=True)
+            if store_positions:
+                # stable sort keeps each pair's occurrences in document
+                # order, so the gathered positions stay ascending per pair
+                order = np.argsort(rkey, kind="stable")
+                rs = rkey[order]
+                gb = np.empty(len(rs), dtype=bool)
+                gb[0] = True
+                gb[1:] = rs[1:] != rs[:-1]
+                gstarts = np.flatnonzero(gb)
+                uniq = rs[gstarts]
+                counts = np.diff(np.append(gstarts, len(rs)))
+                doc_starts = np.zeros(n, dtype=np.int64)
+                np.cumsum(lens[:-1], out=doc_starts[1:])
+                pos_in_doc = (np.arange(len(codes), dtype=np.int64)
+                              - np.repeat(doc_starts, lens))
+                pos_flat = pos_in_doc[order]
+            else:
+                uniq, counts = np.unique(rkey, return_counts=True)
+                pos_flat = None
             g_local = uniq % n
             acc.append((
                 vocab_sorted[uniq // n],
                 docids[0] + g_local,
                 counts.astype(np.int64),
                 lens[g_local],
+                pos_flat,
             ))
             acc_docs += n
             if acc_docs >= flush_docs:
@@ -448,8 +496,15 @@ def build_index(
     store_raw: bool = False,
     statement_col: str | None = None,
     finalize_segments: bool = True,
+    store_positions: bool = False,
 ) -> BuildMetrics:
     """Build (or resume) the inverted index at ``out_dir``.
+
+    ``store_positions``: also store each posting's token positions (in the
+    analyzed token sequence) as the parallel ``pos_blob`` varbyte stream —
+    required for ``engine="phrase"`` queries. Off by default: positions
+    roughly double posting bytes at web scale, and every non-phrase query
+    path ignores (and never reads) the column.
 
     ``finalize_segments`` (default True): after each batch's fused
     zero-shuffle write, rewrite that batch's segment files term-range
@@ -575,7 +630,8 @@ def build_index(
                 ).filter(F.col("_pid").isin(batch_pids)).drop("_pid")
             fused = part.mapInPandas(
                 _fused_generator(offsets, analyzer, flush_docs,
-                                 index_col=index_col, raw_col=raw_col),
+                                 index_col=index_col, raw_col=raw_col,
+                                 store_positions=store_positions),
                 OUT_SCHEMA,
             )
             # small row groups: segment files are term-sorted and docmap
@@ -679,6 +735,7 @@ def build_index(
             "n_batches": n_batches,
             "bm25": {"k1": 1.2, "b": 0.75},
             "store_raw": raw_col is not None,
+            "store_positions": store_positions,
             "statement_col": statement_col,
             "analyzer": {
                 "keep_pattern": analyzer.keep_pattern,
@@ -717,7 +774,7 @@ def build_index(
 _SEG_FILE_SCHEMA = ("bucket int, term string, df_seg int, sum_tf long, "
                     "min_docid long, max_docid long, blob binary, "
                     "skips binary, docid long, url string, doclen int, "
-                    "raw string")
+                    "raw string, pos_blob binary")
 
 
 def _finalize_batch_segments(spark: SparkSession, store, batch_path: str,
@@ -862,6 +919,10 @@ def append_index(
                            flush_docs=flush_docs, store_raw=store_raw,
                            statement_col=statement_col)
     stats = load_stats(out_dir)
+    # positions are an index-level invariant: a mixed index (some batches
+    # with pos_blob, some without) would silently break phrase queries on
+    # the gap — appends always inherit the base index's setting
+    store_positions = bool(stats.get("store_positions"))
     manifests = _batch_manifests(out_dir)
     if base_docid is None:
         base_docid = max(
@@ -911,7 +972,8 @@ def append_index(
         batch_path = os.path.join(out_dir, "data", f"batch={batch_id}")
         fused = src.mapInPandas(
             _fused_generator(offsets, analyzer, flush_docs, bucket_base,
-                             index_col=index_col, raw_col=raw_col),
+                             index_col=index_col, raw_col=raw_col,
+                             store_positions=store_positions),
             OUT_SCHEMA,
         )
         (
@@ -1396,6 +1458,8 @@ def compact_index(
     committed = [m["batch"] for m in _visible_batches(index_dir)]
     data = data.filter(F.col("batch").isin(committed))
     has_raw = bool(stats.get("store_raw")) and "raw" in data.columns
+    has_pos = (bool(stats.get("store_positions"))
+               and "pos_blob" in data.columns)
     doc_cols = ["docid", "url", "doclen"] + (["raw"] if has_raw else [])
     docmap_old = data.filter(F.col("kind") == "d").select(*doc_cols)
 
@@ -1466,6 +1530,7 @@ def compact_index(
         n(b"").cast("binary").alias("skips"),
         "docid", "url", "doclen",
         (F.col("raw") if has_raw else n(None).cast("string")).alias("raw"),
+        n(None).cast("binary").alias("pos_blob"),
     )
     (
         docmap_new.write.mode("overwrite")
@@ -1477,35 +1542,50 @@ def compact_index(
     # ---- postings: decode -> remap -> re-encode ----------------------------
     from visigoth_spark.codec import decode_segment
 
+    from visigoth_spark.codec import decode_positions
+
     def explode_gen(iterator):
         for pdf in iterator:
             if len(pdf) == 0:
                 continue
             terms = pdf["term"].to_numpy(dtype=object)
             ids_acc, tfs_acc, dls_acc, reps = [], [], [], []
-            for blob in pdf["blob"]:
+            pos_acc: list = []
+            for i, blob in enumerate(pdf["blob"]):
                 d, tf, dl = decode_segment(bytes(blob))
                 ids_acc.append(d)
                 tfs_acc.append(tf)
                 dls_acc.append(dl)
                 reps.append(len(d))
-            yield pd.DataFrame(
-                {
-                    "term": np.repeat(terms, reps),
-                    "docid_old": np.concatenate(ids_acc),
-                    "tf": np.concatenate(tfs_acc),
-                    # doclen rides the blob (decode gives it for free), so
-                    # the remap join below only carries (docid, bucket) —
-                    # a narrower build side and shuffle
-                    "dl": np.concatenate(dls_acc),
-                }
-            )
+                if has_pos:
+                    # per-posting position lists ride the shuffle as
+                    # array<long> and re-encode on the other side
+                    flat = decode_positions(
+                        bytes(pdf["pos_blob"].iloc[i]), tf)
+                    pos_acc.extend(
+                        np.split(flat, np.cumsum(tf[:-1])))
+            out = {
+                "term": np.repeat(terms, reps),
+                "docid_old": np.concatenate(ids_acc),
+                "tf": np.concatenate(tfs_acc),
+                # doclen rides the blob (decode gives it for free), so
+                # the remap join below only carries (docid, bucket) —
+                # a narrower build side and shuffle
+                "dl": np.concatenate(dls_acc),
+            }
+            if has_pos:
+                out["pos"] = pd.Series(pos_acc, dtype=object)
+            yield pd.DataFrame(out)
 
+    explode_schema = "term string, docid_old long, tf long, dl long"
+    seg_cols = ["term", "blob"]
+    if has_pos:
+        explode_schema += ", pos array<long>"
+        seg_cols.append("pos_blob")
     exploded = (
         data.filter(F.col("kind") == "s")
-        .select("term", "blob")
-        .mapInPandas(explode_gen,
-                     "term string, docid_old long, tf long, dl long")
+        .select(*seg_cols)
+        .mapInPandas(explode_gen, explode_schema)
     )
     # the remap side is (docid_old, docid, bucket): ~20 B/doc. Up to a few
     # million docs that is broadcast territory — hash-joining each posting
@@ -1525,8 +1605,14 @@ def compact_index(
         tf = pdf["tf"].to_numpy(np.int64)
         dl = pdf["dl"].to_numpy(np.int64)
         order = np.lexsort((d, t))
+        pos = None
+        if "pos" in pdf.columns:
+            pos = np.concatenate(
+                [np.asarray(p, dtype=np.int64)
+                 for p in pdf["pos"].to_numpy(dtype=object)[order]]
+            ) if len(pdf) else np.zeros(0, dtype=np.int64)
         return _seg_frame(t[order], d[order], tf[order], dl[order],
-                          int(pdf["bucket"].iloc[0]))
+                          int(pdf["bucket"].iloc[0]), positions=pos)
 
     n_seg_files = max(1, min(64, P))
     (

@@ -269,6 +269,75 @@ def decode_skips(skips: bytes) -> np.ndarray:
     return np.frombuffer(skips, dtype=SKIP_DTYPE)
 
 
+# ---- positional postings (phrase queries) -----------------------------------
+#
+# Positions are an OPT-IN parallel stream (`pos_blob` segment column), not a
+# fourth section inside `blob`: existing indexes stay byte-identical and the
+# non-phrase query paths never read (or decode) a single position byte —
+# Parquet column pruning skips the stream entirely. A position is a token's
+# index in the document's ANALYZED (post-stopword, post-stem) token sequence,
+# so phrase adjacency is defined over kept tokens (the classic
+# stopword-removed phrase semantics).
+#
+# Stream layout: one varbyte stream per (term-within-partition) segment,
+# containing each posting's positions in (docid ASC, position ASC) order,
+# delta-encoded WITHIN each posting: first value = pos[0] + 1, then diffs
+# (strictly positive — a token occupies one position). Posting boundaries are
+# not stored: they are the segment's tf values, which the phrase decoder has
+# already decoded from `blob`.
+
+
+def encode_positions_groups(
+    group_starts: np.ndarray, tfs: np.ndarray, positions: np.ndarray
+) -> list[bytes]:
+    """Encode MANY segments' position streams in one vectorized pass.
+
+    ``group_starts``: start index of each segment's (term, doc) pairs in the
+    pair-level arrays (as in :func:`encode_groups`). ``tfs``: per-pair
+    occurrence counts. ``positions``: flat per-occurrence positions, ascending
+    within each pair, pairs tiling the array in (term, docid) order. Returns
+    one varbyte ``bytes`` per segment (group)."""
+    tfs = np.ascontiguousarray(tfs, dtype=np.int64)
+    n_pairs = len(tfs)
+    n_occ = len(positions)
+    positions = np.ascontiguousarray(positions, dtype=np.int64)
+    # occurrence-level start of each pair
+    occ_starts = np.zeros(n_pairs, dtype=np.int64)
+    np.cumsum(tfs[:-1], out=occ_starts[1:])
+    deltas = np.empty(n_occ, dtype=np.int64)
+    if n_occ:
+        deltas[0] = positions[0] + 1
+        deltas[1:] = np.diff(positions)
+        deltas[occ_starts] = positions[occ_starts] + 1
+        assert (deltas > 0).all(), "positions must ascend within a posting"
+    buf, offs = vb_encode(deltas.astype(np.uint64))
+    offs = np.append(offs.astype(np.int64), len(buf))
+    raw = buf.tobytes()
+    # byte range of each TERM group = [occ offset of its first pair,
+    # occ offset of the next group's first pair)
+    g_occ = occ_starts[group_starts]
+    g_occ_end = np.append(g_occ[1:], n_occ)
+    return [raw[offs[s]:offs[e]] for s, e in zip(g_occ, g_occ_end)]
+
+
+def decode_positions(pos_blob: bytes, tfs: np.ndarray) -> np.ndarray:
+    """Decode one segment's position stream back to flat 0-based positions
+    aligned with the segment's (docid ASC, occurrence ASC) order. ``tfs`` is
+    the segment's decoded per-posting tf array (posting boundaries)."""
+    tfs = np.ascontiguousarray(tfs, dtype=np.int64)
+    n_occ = int(tfs.sum())
+    deltas = vb_decode(
+        np.frombuffer(pos_blob, dtype=np.uint8), n_occ
+    ).astype(np.int64)
+    if n_occ == 0:
+        return np.zeros(0, dtype=np.int64)
+    occ_starts = np.zeros(len(tfs), dtype=np.int64)
+    np.cumsum(tfs[:-1], out=occ_starts[1:])
+    cs = np.cumsum(deltas)
+    base = cs[occ_starts] - deltas[occ_starts]  # cumsum carried in from prev
+    return cs - np.repeat(base, tfs) - 1
+
+
 def decode_block(
     blob: bytes, skips_arr: np.ndarray, block_idx: int, base: int = -1
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

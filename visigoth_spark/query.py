@@ -44,6 +44,7 @@ from visigoth_spark.codec import (
     BM25_K1,
     decode_block,
     decode_docids,
+    decode_positions,
     decode_segment,
     decode_skips,
     tf_norm,
@@ -59,10 +60,20 @@ RESULT_KERNEL_SCHEMA = "docid long, score double, hits int"
 # (TestWandParity pins bit-identical scores between the two).
 ENGINES = frozenset(
     {"bm25", "bm25_wand", "bm25_exhaustive", "bm25_or", "hits", "linear",
-     "noop_zero", "noop_all"}
+     "noop_zero", "noop_all", "phrase", "bm25_prefix", "bm25_fuzzy"}
 )
 
 _AND_BM25 = ("bm25", "bm25_wand", "bm25_exhaustive")
+
+# multi-term expansion engines: each analyzed query token expands against
+# the term dictionary (prefix match / Levenshtein<=max_edits), then the
+# union scores as OR-BM25 with each expanded term's own idf (the classic
+# Lucene MultiTermQuery-rewritten-to-boolean semantics)
+_EXPANSION = ("bm25_prefix", "bm25_fuzzy")
+
+# pos-variant hot-term-cache key prefix ('\0' can never appear in an
+# analyzed term, so plain and positional entries share the LRU safely)
+_POS_KEY = "\x00pos\x00"
 
 # k=None hydration: broadcast the ranked match set into the docmap join
 # only when the termdict bounds it to roughly Spark's default broadcast
@@ -453,9 +464,10 @@ class SearchIndex:
             self._term_cache_bytes = 0
             return
         for t in terms:
-            hit = self._term_cache.pop(t, None)
-            if hit is not None:
-                self._term_cache_bytes -= sum(a.nbytes for a in hit)
+            for key in (t, _POS_KEY + t):  # plain AND positional entries
+                hit = self._term_cache.pop(key, None)
+                if hit is not None:
+                    self._term_cache_bytes -= sum(a.nbytes for a in hit)
 
     _SEG_COLS = ["term", "bucket", "min_docid", "blob", "skips"]
 
@@ -482,7 +494,7 @@ class SearchIndex:
             schema = ("bucket int, term string, df_seg int, sum_tf long, "
                       "min_docid long, max_docid long, blob binary, "
                       "skips binary, docid long, url string, doclen int, "
-                      "raw string")
+                      "raw string, pos_blob binary")
             return (
                 self.spark.read.schema(schema).parquet(*paths)
                 .filter(F.col("term").isin(terms))
@@ -526,13 +538,16 @@ class SearchIndex:
         bpp = (self.stats.get("bytes_blob", 0) / n_post) if n_post else 8.0
         return total_df * bpp * 2.0 <= self.driver_local_max_bytes
 
-    def _driver_seg_rows(self, terms: list[str]) -> pd.DataFrame | None:
+    def _driver_seg_rows(self, terms: list[str],
+                         cols: list[str] | None = None
+                         ) -> pd.DataFrame | None:
         """Driver-side pyarrow read of the pruned segment rows — the same
         file pruning decisions as _seg_scan (segfiles manifest when present,
         else the visible batches' kind=s dirs), the same term filter pushed
         to row-group stats. Returns None when the read can't run driver-side
         (non-local storage, no manifests) — the caller falls back to the
         distributed scan. An empty frame means provably no matching rows."""
+        cols = cols or self._SEG_COLS
         if self._local_root is None:
             return None  # object-store index: distributed route only
         try:
@@ -542,7 +557,7 @@ class SearchIndex:
             if pruned is not None:
                 paths = [os.path.join(self._local_root, p) for p in pruned]
                 if not paths:
-                    return pd.DataFrame(columns=self._SEG_COLS)
+                    return pd.DataFrame(columns=cols)
                 data = ds.dataset(paths, format="parquet")
             else:
                 if not self._manifests:
@@ -569,9 +584,9 @@ class SearchIndex:
                     elif m.get("n_segments", 0) > 0:
                         return None
                 if not paths:
-                    return pd.DataFrame(columns=self._SEG_COLS)
+                    return pd.DataFrame(columns=cols)
                 data = ds.dataset(paths, format="parquet")
-            tbl = data.to_table(columns=self._SEG_COLS,
+            tbl = data.to_table(columns=cols,
                                 filter=ds.field("term").isin(terms))
             return tbl.to_pandas()
         except Exception:
@@ -589,15 +604,110 @@ class SearchIndex:
         if pdf is None:
             return None
         decoded = _decode_term_segments(pdf, term)
-        if self.driver_cache_max_bytes > 0:
-            cost = sum(a.nbytes for a in decoded)
-            if cost <= self.driver_cache_max_bytes:
-                self._term_cache[term] = decoded
-                self._term_cache_bytes += cost
-                while self._term_cache_bytes > self.driver_cache_max_bytes:
-                    _, old = self._term_cache.popitem(last=False)
-                    self._term_cache_bytes -= sum(a.nbytes for a in old)
+        self._cache_put(term, decoded)
         return decoded
+
+    def _cache_put(self, key: str, decoded: tuple) -> None:
+        if self.driver_cache_max_bytes <= 0:
+            return
+        cost = sum(a.nbytes for a in decoded)
+        if cost <= self.driver_cache_max_bytes:
+            self._term_cache[key] = decoded
+            self._term_cache_bytes += cost
+            while self._term_cache_bytes > self.driver_cache_max_bytes:
+                _, old = self._term_cache.popitem(last=False)
+                self._term_cache_bytes -= sum(a.nbytes for a in old)
+
+    def _decoded_term_pos(self, term: str):
+        """(ids, tfs, dls, positions) for one term — the positional variant
+        of :meth:`_decoded_term` (phrase queries). Cached in the same LRU
+        under a reserved key prefix; None when the driver-side read isn't
+        possible."""
+        key = _POS_KEY + term
+        hit = self._term_cache.get(key)
+        if hit is not None:
+            self._term_cache.move_to_end(key)
+            return hit
+        pdf = self._driver_seg_rows(
+            [term], cols=self._SEG_COLS + ["pos_blob"])
+        if pdf is None:
+            return None
+        decoded = _decode_term_segments_pos(pdf, term)
+        self._cache_put(key, decoded)
+        return decoded
+
+    @property
+    def has_positions(self) -> bool:
+        """True when the index stores positional postings
+        (``build_index(store_positions=True)``) — required by
+        ``engine="phrase"``."""
+        return bool(self.stats.get("store_positions"))
+
+    # ---- term-dictionary expansion (prefix / fuzzy engines) ---------------
+    def _vocab_range(self, lo: str, hi: str | None) -> list[str] | None:
+        """Terms in [lo, hi) from the term-sorted termdict. Driver-side
+        pyarrow read with the range pushed to row-group stats when the
+        index is local; Spark termdict scan otherwise. None only when the
+        index has no termdict at all (callers raise)."""
+        td = (os.path.join(self._local_root, "termdict")
+              if self._local_root is not None else None)
+        if td and os.path.isdir(td):
+            try:
+                import pyarrow.dataset as ds
+
+                flt = ds.field("term") >= lo
+                if hi is not None:
+                    flt = flt & (ds.field("term") < hi)
+                tbl = ds.dataset(td, format="parquet").to_table(
+                    columns=["term"], filter=flt)
+                return tbl["term"].to_pylist()
+            except Exception:
+                pass
+        td_uri = vstore.join(self.index_dir, "termdict")
+        if not self._store.isdir(td_uri):
+            return None
+        df = self.spark.read.parquet(td_uri).filter(F.col("term") >= lo)
+        if hi is not None:
+            df = df.filter(F.col("term") < hi)
+        return [r["term"] for r in df.select("term").collect()]
+
+    def expand_prefix(self, prefix: str, max_terms: int = 1024) -> list[str]:
+        """Vocabulary terms starting with ``prefix`` (over the ANALYZED
+        vocabulary — with a stemming analyzer the prefix matches stems).
+        A term-dictionary RANGE SEEK [prefix, prefix+1): on the term-sorted
+        termdict this prunes to the covering row groups, never a vocab
+        scan. Deterministic ``max_terms`` cap (term-ascending — the
+        Lucene-rewrite-cap analogue) bounds the OR fan-in."""
+        if not prefix:
+            return []
+        hi = prefix[:-1] + chr(ord(prefix[-1]) + 1)
+        terms = self._vocab_range(prefix, hi)
+        if terms is None:
+            raise ValueError(
+                "prefix expansion requires an index with a termdict")
+        return sorted(terms)[:max_terms]
+
+    def expand_fuzzy(self, term: str, max_edits: int = 1,
+                     max_terms: int = 1024) -> list[str]:
+        """Vocabulary terms within Levenshtein distance ``max_edits`` of
+        ``term`` (analyzed form). Candidate generation: one termdict
+        column scan filtered to |len-len(term)| <= max_edits Arrow-side,
+        then an early-exit banded edit-distance check on the (small)
+        survivor set. O(vocab) in the worst case — honest for this repo's
+        scale; the production upgrade is a Levenshtein automaton over an
+        FST termdict (public Lucene design), which slots in behind this
+        same method."""
+        if not term:
+            return []
+        terms = self._vocab_range("", None)
+        if terms is None:
+            raise ValueError(
+                "fuzzy expansion requires an index with a termdict")
+        lt = len(term)
+        out = [t for t in terms
+               if abs(len(t) - lt) <= max_edits
+               and _edit_distance_le(term, t, max_edits)]
+        return sorted(out)[:max_terms]
 
     # ---- Indexer primitives (B3-B5) ---------------------------------------
     def __len__(self) -> int:
@@ -740,13 +850,21 @@ class SearchIndex:
         answer to `.explain("formatted")` for a layer whose planning
         happens before Catalyst sees anything."""
         tokens = analyze_text(query, self.analyzer)
+        if engine in _EXPANSION and tokens:
+            expand = (self.expand_prefix if engine == "bm25_prefix"
+                      else self.expand_fuzzy)
+            expanded: set[str] = set()
+            for tok in dict.fromkeys(tokens):
+                expanded.update(expand(tok))
+            tokens = sorted(expanded)
         terms = sorted(set(tokens))
         dfs = self.term_df(terms) if terms else {}
+        eff = "bm25_or" if engine in _EXPANSION else engine
         empty = (
             not terms
-            or (engine in _AND_BM25 or engine == "linear")
+            or (eff in _AND_BM25 or eff in ("linear", "phrase"))
             and any(dfs[t] == 0 for t in terms)
-            or engine == "bm25_or" and all(dfs[t] == 0 for t in terms)
+            or eff == "bm25_or" and all(dfs[t] == 0 for t in terms)
         )
         pruned = self._seg_prune.prune(terms) if terms else None
         route = ("none (plan-time empty)" if empty else
@@ -815,11 +933,29 @@ class SearchIndex:
         tokens = analyze_text(query, self.analyzer)
         if not tokens:
             return self._empty_result(include_raw)
+        if engine in _EXPANSION:
+            # expand each analyzed token against the term dictionary, then
+            # score the union as OR-BM25 (each expansion with its own idf —
+            # the Lucene MultiTermQuery boolean rewrite)
+            expand = (self.expand_prefix if engine == "bm25_prefix"
+                      else self.expand_fuzzy)
+            expanded: set[str] = set()
+            for tok in dict.fromkeys(tokens):
+                expanded.update(expand(tok))
+            if not expanded:
+                return self._empty_result(include_raw)
+            tokens = sorted(expanded)
+            engine = "bm25_or"
+        if engine == "phrase" and not self.has_positions:
+            raise ValueError(
+                "engine='phrase' requires an index built with "
+                "store_positions=True"
+            )
         terms = sorted(set(tokens))
         multiplicity = {t: tokens.count(t) for t in terms}
 
         dfs = self.term_df(terms)
-        if (engine == "linear" or engine in _AND_BM25) and any(
+        if (engine in ("linear", "phrase") or engine in _AND_BM25) and any(
             dfs[t] == 0 for t in terms
         ):
             return self._empty_result(include_raw)  # AND with a missing term
@@ -834,29 +970,38 @@ class SearchIndex:
         }
 
         kernel = _make_kernel(engine, terms, multiplicity, idf, avgdl,
-                              threshold=len(tokens), k=k, dfs=dfs)
+                              threshold=len(tokens), k=k, dfs=dfs,
+                              tokens=tokens)
         top = None
         if k is not None and self._route_driver(dfs, route):
             decoded = {}
             for t in terms:
-                d = self._decoded_term(t)
+                d = (self._decoded_term_pos(t) if engine == "phrase"
+                     else self._decoded_term(t))
                 if d is None:  # can't read driver-side -> distributed
                     decoded = None
                     break
                 decoded[t] = d
             if decoded is not None:
-                # with whole-term decoded arrays in hand, exhaustive exact
-                # scoring IS the fastest plan (WAND's partial decode saves
-                # nothing once everything is decoded); scores bit-identical
-                # (TestWandParity pins WAND ≡ exhaustive)
-                body_engine = ("bm25_exhaustive" if engine in
-                               ("bm25", "bm25_wand") else engine)
-                out = _decoded_body(decoded, body_engine, terms,
-                                    multiplicity, idf, avgdl,
-                                    threshold=len(tokens), k=k)
+                if engine == "phrase":
+                    out = _phrase_body(decoded, tokens, idf, avgdl, k)
+                else:
+                    # with whole-term decoded arrays in hand, exhaustive
+                    # exact scoring IS the fastest plan (WAND's partial
+                    # decode saves nothing once everything is decoded);
+                    # scores bit-identical (TestWandParity)
+                    body_engine = ("bm25_exhaustive" if engine in
+                                   ("bm25", "bm25_wand") else engine)
+                    out = _decoded_body(decoded, body_engine, terms,
+                                        multiplicity, idf, avgdl,
+                                        threshold=len(tokens), k=k)
                 top = _order_and_head(out, engine, k)
         if top is None:
-            seg = self._seg_scan(terms)
+            seg = self._seg_scan(
+                terms,
+                cols=(self._SEG_COLS + ["pos_blob"]
+                      if engine == "phrase" else None),
+            )
             if seg is None:  # no segment file can contain any query term
                 return self._empty_result(include_raw)
             local = seg.groupBy("bucket").applyInPandas(
@@ -970,7 +1115,9 @@ class SearchIndex:
 
         Returns (qid, url, docid, score, hits[, raw]), each qid's rows in
         the engine's order. qid = position in ``queries``."""
-        if engine not in ENGINES or engine in ("noop_zero", "noop_all"):
+        if engine not in ENGINES or engine in (
+            "noop_zero", "noop_all", "phrase"
+        ):
             raise ValueError(f"unsupported batch engine {engine!r}")
         if route not in ("auto", "driver", "spark"):
             raise ValueError(f"unknown route {route!r}")
@@ -980,12 +1127,24 @@ class SearchIndex:
             raise ValueError(
                 "include_raw requires an index built with store_raw=True"
             )
+        expand = None
+        if engine in _EXPANSION:
+            # per-query termdict expansion, then the whole batch scores as
+            # OR-BM25 (identical to search()'s expansion rewrite)
+            expand = (self.expand_prefix if engine == "bm25_prefix"
+                      else self.expand_fuzzy)
+            engine = "bm25_or"
         n_docs = self.stats["n_docs"]
         avgdl = self.stats["avgdl"]
         plans: dict[int, dict] = {}
         all_terms: set[str] = set()
         for qid, q in enumerate(queries):
             tokens = analyze_text(q, self.analyzer)
+            if expand is not None and tokens:
+                expanded: set[str] = set()
+                for tok in dict.fromkeys(tokens):
+                    expanded.update(expand(tok))
+                tokens = sorted(expanded)
             if tokens:
                 terms = sorted(set(tokens))
                 plans[qid] = {"tokens": tokens, "terms": terms}
@@ -1278,6 +1437,129 @@ def _decode_term_segments(pdf: pd.DataFrame, term: str):
     )
 
 
+def _decode_term_segments_pos(pdf: pd.DataFrame, term: str):
+    """Positional variant of :func:`_decode_term_segments`: concat a term's
+    segments in docid order, returning (ids, tfs, dls, positions) where
+    ``positions`` is the flat per-occurrence position stream (posting runs
+    tiling it in docid order, ascending within a posting)."""
+    rows = pdf[pdf["term"] == term].sort_values("min_docid")
+    ids, tfs, dls, pos = [], [], [], []
+    for blob, pblob in zip(rows["blob"], rows["pos_blob"]):
+        d, t, l = decode_segment(bytes(blob))
+        if pblob is None:
+            raise ValueError(
+                "segment has no pos_blob — phrase queries require an index "
+                "built with store_positions=True"
+            )
+        ids.append(d)
+        tfs.append(t)
+        dls.append(l)
+        pos.append(decode_positions(bytes(pblob), t))
+    z = np.zeros(0, dtype=np.int64)
+    return (
+        np.concatenate(ids) if ids else z,
+        np.concatenate(tfs) if tfs else z.copy(),
+        np.concatenate(dls) if dls else z.copy(),
+        np.concatenate(pos) if pos else z.copy(),
+    )
+
+
+def _edit_distance_le(a: str, b: str, k: int) -> bool:
+    """True when levenshtein(a, b) <= k. Banded DP with early exit —
+    O(len(a) * (2k+1)) and k is 1-2 in practice."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > k:
+        return False
+    if a == b:
+        return True
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        lo = max(1, i - k)
+        hi = min(lb, i + k)
+        if lo > 1:
+            cur[lo - 1] = k + 1  # outside the band
+        best = k + 1
+        for j in range(lo, hi + 1):
+            cur[j] = min(
+                prev[j] + 1,
+                cur[j - 1] + 1,
+                prev[j - 1] + (a[i - 1] != b[j - 1]),
+            )
+            best = min(best, cur[j])
+        if hi < lb:
+            cur[hi + 1 :] = [k + 1] * (lb - hi)
+        if best > k:
+            return False
+        prev = cur
+    return prev[lb] <= k
+
+
+def _phrase_body(decoded: dict, tokens: list[str], idf: dict[str, float],
+                 avgdl: float, k: int | None) -> pd.DataFrame:
+    """Exact phrase match + scoring over positional decoded arrays —
+    shared by the per-bucket executor kernel and the driver hot path.
+
+    ``decoded[t] = (ids, tfs, dls, positions)`` per DISTINCT term;
+    ``tokens`` is the analyzed query in order (duplicates meaningful:
+    token j must occur at start+j). Semantics: a doc matches when the
+    full adjacency chain exists in its ANALYZED token sequence;
+    phrase tf = number of start positions; score is Lucene-PhraseQuery-
+    style BM25 — (sum of the tokens' idfs) x the BM25 tf-normalization
+    of the phrase tf. Fully vectorized: occurrences become composite
+    docid*M+pos keys and the chain is a k-way sorted-array intersection
+    (same _gallop_intersect as the boolean AND path)."""
+    terms = sorted(set(tokens))
+    lists = [decoded[t][0] for t in terms]
+    if any(len(x) == 0 for x in lists):
+        return _EMPTY
+    cand = _gallop_intersect(lists)
+    if len(cand) == 0:
+        return _EMPTY
+    m = len(tokens)
+    # composite-key base: larger than any position + chain shift
+    M = 1
+    for t in terms:
+        p = decoded[t][3]
+        if len(p):
+            M = max(M, int(p.max()))
+    M = M + m + 2
+    keys: dict[str, np.ndarray] = {}
+    for t in terms:
+        ids, tfs, dls, pos = decoded[t]
+        sel = np.searchsorted(ids, cand)
+        tf_sel = tfs[sel]
+        off = np.zeros(len(tfs), dtype=np.int64)
+        np.cumsum(tfs[:-1], out=off[1:])
+        total = int(tf_sel.sum())
+        out_starts = np.zeros(len(tf_sel), dtype=np.int64)
+        np.cumsum(tf_sel[:-1], out=out_starts[1:])
+        gather = (np.repeat(off[sel], tf_sel)
+                  + np.arange(total, dtype=np.int64)
+                  - np.repeat(out_starts, tf_sel))
+        p_sel = pos[gather]
+        doc_rep = np.repeat(cand, tf_sel)
+        keys[t] = doc_rep * M + p_sel  # strictly ascending
+    surv = _gallop_intersect([keys[tok] - j for j, tok in enumerate(tokens)])
+    if len(surv) == 0:
+        return _EMPTY
+    docs, ptf = np.unique(surv // M, return_counts=True)
+    t0 = terms[0]
+    dl = decoded[t0][2][np.searchsorted(decoded[t0][0], docs)].astype(
+        np.float64)
+    coeff = float(sum(idf[tok] for tok in tokens))
+    ptf_f = ptf.astype(np.float64)
+    score = coeff * (ptf_f * (BM25_K1 + 1.0)) / (
+        ptf_f + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl)
+    )
+    out = pd.DataFrame(
+        {"docid": docs, "score": score, "hits": ptf.astype(np.int32)}
+    )
+    if k is not None and len(out) > k:
+        out = _head_k_with_ties(out, "score", k)
+    return out
+
+
 def _gallop_intersect(lists: list[np.ndarray]) -> np.ndarray:
     """k-way AND: drive from the rarest list, probe the others with
     searchsorted (vectorized galloping — the skip-pointer analogue; the
@@ -1537,9 +1819,11 @@ def _or_kernel_body(pdf: pd.DataFrame, terms: list[str],
 
 def _make_kernel(engine: str, terms: list[str], multiplicity: dict[str, int],
                  idf: dict[str, float], avgdl: float, threshold: int,
-                 k: int | None, dfs: dict[str, int] | None = None):
+                 k: int | None, dfs: dict[str, int] | None = None,
+                 tokens: list[str] | None = None):
     """Build the per-bucket applyInPandas kernel. All state is captured by
-    value (broadcast with the task closure — a few floats per query term)."""
+    value (broadcast with the task closure — a few floats per query term).
+    ``tokens`` (ordered, duplicates kept) is required by engine="phrase"."""
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         if engine in ("bm25", "bm25_wand"):
@@ -1549,6 +1833,9 @@ def _make_kernel(engine: str, terms: list[str], multiplicity: dict[str, int],
             return _wand_kernel_body(pdf, terms, dfs or {}, idf, avgdl, k)
         if engine == "bm25_or":
             return _or_kernel_body(pdf, terms, idf, avgdl, k)
+        if engine == "phrase":
+            decoded = {t: _decode_term_segments_pos(pdf, t) for t in terms}
+            return _phrase_body(decoded, tokens, idf, avgdl, k)
         decoded = {t: _decode_term_segments(pdf, t) for t in terms}
         return _decoded_body(decoded, engine, terms, multiplicity, idf,
                              avgdl, threshold, k)
