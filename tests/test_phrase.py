@@ -1,0 +1,318 @@
+"""Positional postings + phrase engine + prefix/fuzzy expansion engines.
+
+Oracle: a direct Python scorer over the analyzed corpus (same contract the
+engine documents — phrase tf = count of adjacency-chain start positions in
+the ANALYZED token sequence; score = sum(token idfs) x BM25 tf-norm of the
+phrase tf; ties (score DESC, url ASC)).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from visigoth_spark.analysis import AnalyzerConfig, analyze_text
+from visigoth_spark.codec import (
+    BM25_B,
+    BM25_K1,
+    decode_positions,
+    encode_positions_groups,
+)
+from visigoth_spark.query import SearchIndex, _edit_distance_le
+
+AN = AnalyzerConfig(stopwords=frozenset(), stem=False)
+
+# constructed corpus: phrase repeats, duplicate-token runs, prefix/fuzzy
+# vocabulary neighborhoods, plus filler for df variety
+DOCS = [
+    ("u00", "alpha beta gamma alpha beta"),
+    ("u01", "alpha gamma beta delta"),
+    ("u02", "beta alpha beta alpha"),
+    ("u03", "echo echo echo delta"),
+    ("u04", "alpha beta"),
+    ("u05", "prefix prefab presto gamma"),
+    ("u06", "datum datun data prefix"),
+    ("u07", "gamma delta echo"),
+    ("u08", "alpha beta gamma"),
+    ("u09", "beta gamma alpha beta delta"),
+    ("u10", "presto prefix alpha"),
+    ("u11", "data gamma data gamma data"),
+    ("u12", "echo echo"),
+    ("u13", "delta delta gamma"),
+    ("u14", "datum alpha beta datum"),
+    ("u15", "zeta eta theta"),
+]
+
+
+def _analyzed():
+    return {url: analyze_text(text, AN) for url, text in DOCS}
+
+
+def _stats(corpus):
+    n = len(corpus)
+    avgdl = sum(len(t) for t in corpus.values()) / n
+    dfs = {}
+    for toks in corpus.values():
+        for t in set(toks):
+            dfs[t] = dfs.get(t, 0) + 1
+    return n, avgdl, dfs
+
+
+def _idf(n, df):
+    return math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+
+
+def phrase_oracle(corpus, phrase_tokens, k=10):
+    """(url, score, ptf) rows in (score DESC, url ASC) order."""
+    n, avgdl, dfs = _stats(corpus)
+    m = len(phrase_tokens)
+    out = []
+    for url, toks in sorted(corpus.items()):
+        ptf = sum(
+            1
+            for i in range(len(toks) - m + 1)
+            if toks[i:i + m] == list(phrase_tokens)
+        )
+        if ptf:
+            coeff = sum(_idf(n, dfs[t]) for t in phrase_tokens)
+            dl = len(toks)
+            s = coeff * (ptf * (BM25_K1 + 1.0)) / (
+                ptf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl)
+            )
+            out.append((url, s, ptf))
+    out.sort(key=lambda r: (-r[1], r[0]))
+    return out[:k]
+
+
+@pytest.fixture(scope="module")
+def pos_idx(spark, tmp_path_factory):
+    """Positions index over DOCS: batch build of the first 12 docs plus an
+    APPEND of the rest — every phrase test below exercises the multi-batch
+    concat path for free."""
+    from visigoth_spark.build import append_index, build_index
+
+    out = str(tmp_path_factory.mktemp("posidx") / "idx")
+    df = spark.createDataFrame(DOCS[:12], "url string, text string")
+    build_index(spark, df, out, analyzer=AN, num_partitions=2,
+                store_positions=True)
+    df2 = spark.createDataFrame(DOCS[12:], "url string, text string")
+    append_index(spark, df2, out, analyzer=AN, num_partitions=2)
+    return SearchIndex(spark, out, analyzer=AN)
+
+
+# ---- codec ------------------------------------------------------------------
+
+
+def test_positions_roundtrip_fuzz():
+    rng = np.random.default_rng(11)
+    for _ in range(300):
+        n_groups = int(rng.integers(1, 5))
+        pair_counts = rng.integers(1, 6, n_groups)
+        group_starts = np.zeros(n_groups, dtype=np.int64)
+        np.cumsum(pair_counts[:-1], out=group_starts[1:])
+        tfs = rng.integers(1, 7, int(pair_counts.sum()))
+        pos = [np.sort(rng.choice(5000, size=tf, replace=False))
+               for tf in tfs]
+        flat = np.concatenate(pos)
+        blobs = encode_positions_groups(group_starts, tfs, flat)
+        g_ends = np.append(group_starts[1:], len(tfs))
+        occ = np.zeros(len(tfs) + 1, dtype=np.int64)
+        np.cumsum(tfs, out=occ[1:])
+        for g in range(n_groups):
+            s, e = group_starts[g], g_ends[g]
+            got = decode_positions(blobs[g], tfs[s:e])
+            assert np.array_equal(got, flat[occ[s]:occ[e]])
+
+
+def test_positions_zero_position_representable():
+    b = encode_positions_groups(
+        np.array([0]), np.array([2]), np.array([0, 1]))
+    assert np.array_equal(decode_positions(b[0], np.array([2])), [0, 1])
+
+
+def test_edit_distance_le_vs_full_dp():
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            ndp = [i]
+            for j, cb in enumerate(b, 1):
+                ndp.append(min(dp[j] + 1, ndp[-1] + 1,
+                               dp[j - 1] + (ca != cb)))
+            dp = ndp
+        return dp[-1]
+
+    words = ["", "a", "ab", "abc", "abd", "bbc", "abcd", "acd", "xabc",
+             "abcx", "aabc", "data", "datum", "datun", "dat", "daata"]
+    for a in words:
+        for b in words:
+            for k in (0, 1, 2):
+                assert _edit_distance_le(a, b, k) == (lev(a, b) <= k), (
+                    a, b, k)
+
+
+# ---- phrase engine ----------------------------------------------------------
+
+
+def _got(res):
+    return [(r["url"], r["score"], r["hits"]) for r in res.collect()]
+
+
+def _assert_matches(got, want):
+    assert len(got) == len(want), (got, want)
+    for g, w in zip(got, want):
+        assert g[0] == w[0] and g[2] == w[2], (got, want)
+        assert abs(g[1] - w[1]) < 1e-9, (got, want)
+
+
+def test_phrase_matches_oracle_driver(pos_idx):
+    corpus = _analyzed()
+    want = phrase_oracle(corpus, ("alpha", "beta"))
+    got = _got(pos_idx.search("alpha beta", engine="phrase", k=10,
+                              route="driver"))
+    _assert_matches(got, want)
+
+
+def test_phrase_routes_identical(pos_idx):
+    a = _got(pos_idx.search("alpha beta", engine="phrase", k=10,
+                            route="driver"))
+    b = _got(pos_idx.search("alpha beta", engine="phrase", k=10,
+                            route="spark"))
+    assert a == b
+
+
+def test_phrase_duplicate_tokens(pos_idx):
+    # "echo echo" must count overlapping starts: u03 = echo echo echo -> 2
+    corpus = _analyzed()
+    want = phrase_oracle(corpus, ("echo", "echo"))
+    assert ("u03" in [w[0] for w in want]
+            and dict((w[0], w[2]) for w in want)["u03"] == 2)
+    got = _got(pos_idx.search("echo echo", engine="phrase", k=10))
+    _assert_matches(got, want)
+
+
+def test_phrase_three_terms(pos_idx):
+    corpus = _analyzed()
+    want = phrase_oracle(corpus, ("alpha", "beta", "gamma"))
+    got = _got(pos_idx.search("alpha beta gamma", engine="phrase", k=10))
+    _assert_matches(got, want)
+
+
+def test_phrase_single_token(pos_idx):
+    corpus = _analyzed()
+    want = phrase_oracle(corpus, ("data",))
+    got = _got(pos_idx.search("data", engine="phrase", k=10))
+    _assert_matches(got, want)
+
+
+def test_phrase_no_match_terms_present(pos_idx):
+    # both terms exist, adjacency never does
+    got = _got(pos_idx.search("zeta alpha", engine="phrase", k=10))
+    assert got == []
+
+
+def test_phrase_missing_term_early_exit(pos_idx):
+    assert _got(pos_idx.search("alpha nosuchterm", engine="phrase")) == []
+
+
+def test_phrase_k_caps(pos_idx):
+    corpus = _analyzed()
+    want = phrase_oracle(corpus, ("alpha", "beta"), k=2)
+    got = _got(pos_idx.search("alpha beta", engine="phrase", k=2))
+    _assert_matches(got, want)
+
+
+def test_phrase_requires_positions(spark, tmp_path):
+    from visigoth_spark.build import build_index
+
+    out = str(tmp_path / "plainidx")
+    df = spark.createDataFrame(DOCS[:6], "url string, text string")
+    build_index(spark, df, out, analyzer=AN, num_partitions=2)
+    idx = SearchIndex(spark, out, analyzer=AN)
+    assert not idx.has_positions
+    with pytest.raises(ValueError, match="store_positions"):
+        idx.search("alpha beta", engine="phrase")
+
+
+def test_phrase_survives_compaction(spark, pos_idx, tmp_path):
+    from visigoth_spark.build import compact_index
+
+    copy = str(tmp_path / "cidx")
+    shutil.copytree(pos_idx.index_dir, copy)
+    before = _got(pos_idx.search("alpha beta", engine="phrase", k=10))
+    compact_index(spark, copy, num_partitions=2)
+    idx2 = SearchIndex(spark, copy, analyzer=AN)
+    assert idx2.has_positions
+    after = _got(idx2.search("alpha beta", engine="phrase", k=10))
+    # urls/scores/hits identical (docids may be remapped)
+    assert after == before
+
+
+def test_phrase_rejected_in_search_many(pos_idx):
+    with pytest.raises(ValueError, match="batch engine"):
+        pos_idx.search_many(["alpha beta"], engine="phrase")
+
+
+def test_explain_phrase(pos_idx):
+    ex = pos_idx.explain_query("alpha nosuchterm", engine="phrase")
+    assert ex["early_exit_empty"] is True
+    ex2 = pos_idx.explain_query("alpha beta", engine="phrase")
+    assert ex2["early_exit_empty"] is False
+
+
+# ---- prefix / fuzzy expansion ----------------------------------------------
+
+
+def test_expand_prefix(pos_idx):
+    assert pos_idx.expand_prefix("pre") == ["prefab", "prefix", "presto"]
+    assert pos_idx.expand_prefix("pre", max_terms=2) == ["prefab", "prefix"]
+    assert pos_idx.expand_prefix("zzz") == []
+    assert pos_idx.expand_prefix("") == []
+
+
+def test_expand_fuzzy(pos_idx):
+    # substitution, and the exact term itself
+    assert pos_idx.expand_fuzzy("datum") == ["datum", "datun"]
+    # deletion/insertion neighbors
+    assert "data" in pos_idx.expand_fuzzy("dat")
+    assert pos_idx.expand_fuzzy("dataa") == ["data"]
+    assert pos_idx.expand_fuzzy("qqqq") == []
+
+
+def test_prefix_engine_equals_manual_or(pos_idx):
+    exp = pos_idx.expand_prefix("pre")
+    a = _got(pos_idx.search("pre", engine="bm25_prefix", k=10))
+    b = _got(pos_idx.search(" ".join(exp), engine="bm25_or", k=10))
+    assert a == b and len(a) > 0
+
+
+def test_fuzzy_engine_equals_manual_or(pos_idx):
+    exp = pos_idx.expand_fuzzy("datun")
+    a = _got(pos_idx.search("datun", engine="bm25_fuzzy", k=10))
+    b = _got(pos_idx.search(" ".join(exp), engine="bm25_or", k=10))
+    assert a == b and len(a) > 0
+
+
+def test_prefix_no_expansion_empty(pos_idx):
+    assert _got(pos_idx.search("zzz", engine="bm25_prefix", k=10)) == []
+
+
+def test_search_many_prefix_matches_single(pos_idx):
+    batch = pos_idx.search_many(["pre", "dat"], engine="bm25_prefix", k=5)
+    rows = batch.collect()
+    by_qid = {}
+    for r in rows:
+        by_qid.setdefault(r["qid"], []).append(
+            (r["url"], r["score"], r["hits"]))
+    for qid, q in enumerate(["pre", "dat"]):
+        single = _got(pos_idx.search(q, engine="bm25_prefix", k=5))
+        assert by_qid.get(qid, []) == single, q
+
+
+def test_positions_column_ignored_by_other_engines(pos_idx):
+    # non-phrase engines on a positions index behave normally
+    got = _got(pos_idx.search("alpha beta", engine="bm25", k=5))
+    assert len(got) > 0

@@ -1472,6 +1472,8 @@ def _edit_distance_le(a: str, b: str, k: int) -> bool:
         return False
     if a == b:
         return True
+    if la == 0 or lb == 0:
+        return max(la, lb) <= k  # pure insertions/deletions
     prev = list(range(lb + 1))
     for i in range(1, la + 1):
         cur = [i] + [0] * lb
