@@ -4,7 +4,7 @@
   (visigoth_spark.build) over the sf0.001 documents table and runs a top-k
   BM25 search through the per-bucket intersection kernel (visigoth_spark.
   query).
-- ``queries()`` / ``oracle_sql()``: 34 paired entries — engine semantics
+- ``queries()`` / ``oracle_sql()``: 37 paired entries — engine semantics
   (hits incl. duplicate-token weighting / linear / missing-term early exit /
   match-all / noop-zero / AND-BM25 / OR-BM25 / term df / corpus stats)
   re-expressed as relational plans, plus ``vg_bm25_stemmed`` (the REAL
@@ -16,7 +16,10 @@
   ``merge_appends``: file-layout-only merge, scores byte-identical),
   ``vg_bm25_tie_boundary`` (constructed exact-score tie class straddling
   k on an APPENDED index — pins the reference url tiebreak contract at
-  the k boundary), plus
+  the k boundary), ``vg_phrase_search`` (positional index +
+  adjacency-chain phrase engine vs a DuckDB list-lambda oracle),
+  ``vg_bm25_prefix`` / ``vg_bm25_fuzzy`` (term-dictionary expansion
+  engines vs LIKE / levenshtein oracles), plus
   the training-data pipeline operators (dedup exact / jaccard with a live
   shingle-df cap / minhash-LSH with a bucket cap / simhash /
   embedding-cosine near-dup via sign-LSH, ANN cosine + IVF top-k, lang-id,

@@ -778,6 +778,153 @@ def sql_bm25_batched() -> str:
     return "\nUNION ALL\n".join(parts)
 
 
+# ---------------------------------------------------------------------------
+# Positional production path: phrase / prefix / fuzzy engines over a cached
+# PLAIN-analyzer positions index (no stopwords, no stemming — exactly THIS
+# harness's tokenization, so the oracles mirror the engine in pure SQL).
+# ---------------------------------------------------------------------------
+
+PHRASE_TERMS = ("part", "filter")  # frequent adjacency in the fixture text
+PREFIX_QUERY = "s"      # expands to {scan, slow, small, sort, spark, stream}
+FUZZY_QUERY = "sow"     # Levenshtein<=1 vocab neighbors: {row, slow}
+
+
+def _plain_pos_index(spark: SparkSession, sf_dir: str):
+    """Cached plain-analyzer POSITIONAL index over the documents table —
+    the production build path with ``store_positions=True`` (pos_blob
+    varbyte streams encoded in the same fused zero-shuffle pass)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from visigoth_spark.analysis import AnalyzerConfig
+    from visigoth_spark.build import build_index
+    from visigoth_spark.query import SearchIndex
+
+    analyzer = AnalyzerConfig(stopwords=frozenset(), stem=False)
+    key = hashlib.md5(("plainpos-v1:" + sf_dir).encode()).hexdigest()[:10]
+    out = os.path.join(tempfile.gettempdir(), "vg_pos_harness", key, "idx")
+    if not os.path.exists(os.path.join(out, "stats.json")):
+        docs = _docs(spark, sf_dir).select(
+            F.format_string("doc-%012d", F.col("doc_id")).alias("url"),
+            "text",
+        )
+        build_index(spark, docs, out, analyzer=analyzer, num_partitions=4,
+                    store_positions=True)
+    return SearchIndex(spark, out, analyzer=analyzer)
+
+
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PHRASE production path under driver correctness: positional index
+    (build_index(store_positions=True)) + engine="phrase" — AND docid
+    intersection, then the vectorized adjacency chain over decoded
+    position streams; Lucene-PhraseQuery-style BM25 (sum of token idfs x
+    tf-norm of the phrase frequency). The oracle recomputes phrase tf with
+    a DuckDB list-lambda adjacency scan over the same tokenization — a
+    hash match pins the position codec + chain kernel end to end."""
+    idx = _plain_pos_index(spark, sf_dir)
+    res = idx.search(" ".join(PHRASE_TERMS), engine="phrase", k=10)
+    return res.select(
+        F.expr("cast(substring(url, 5, 12) as bigint)").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+        F.col("hits").cast("long").alias("ptf"),
+    )
+
+
+SQL_PHRASE = f"""
+WITH {SQL_TOKLIST},
+stats AS (
+    SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+           (SELECT SUM(len(l)) FROM tl) * 1.0
+           / (SELECT COUNT(*) FROM documents) AS avgdl
+),
+dfs AS (
+    SELECT
+      (SELECT COUNT(*) FROM tl
+       WHERE list_contains(l, '{PHRASE_TERMS[0]}')) AS df1,
+      (SELECT COUNT(*) FROM tl
+       WHERE list_contains(l, '{PHRASE_TERMS[1]}')) AS df2
+),
+m AS (
+    SELECT doc_id, len(l) AS dl,
+           len(list_filter(range(1, len(l)),
+               i -> l[i] = '{PHRASE_TERMS[0]}'
+                    AND l[i+1] = '{PHRASE_TERMS[1]}')) AS ptf
+    FROM tl WHERE len(l) >= 2
+)
+SELECT doc_id,
+       ROUND((LN((n_docs - df1 + 0.5) / (df1 + 0.5) + 1.0)
+              + LN((n_docs - df2 + 0.5) / (df2 + 0.5) + 1.0))
+             * (ptf * (1.2 + 1.0))
+             / (ptf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 6) AS score,
+       CAST(ptf AS BIGINT) AS ptf
+FROM m, stats, dfs WHERE ptf > 0
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
+def q_bm25_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PREFIX production path: term-dictionary range seek expands the
+    prefix to its vocabulary terms, then the union scores as OR-BM25 with
+    each expansion's own idf (Lucene MultiTermQuery boolean rewrite).
+    Oracle: the same OR-BM25 with the expansion expressed as LIKE."""
+    idx = _plain_pos_index(spark, sf_dir)
+    res = idx.search(PREFIX_QUERY, engine="bm25_prefix", k=10)
+    return res.select(
+        F.expr("cast(substring(url, 5, 12) as bigint)").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+        F.col("hits").cast("long").alias("hits"),
+    )
+
+
+def _sql_bm25_expansion(term_pred: str) -> str:
+    """OR-BM25 oracle over an expanded term set given as a SQL predicate
+    on ``t`` (LIKE for prefix, levenshtein for fuzzy)."""
+    return f"""
+WITH {SQL_TOKENS},
+stats AS (
+    SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+           COUNT(*) * 1.0 / (SELECT COUNT(*) FROM documents) AS avgdl
+    FROM toks
+),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+tf AS (
+    SELECT doc_id, t, COUNT(*) AS tf FROM toks
+    WHERE {term_pred} GROUP BY doc_id, t
+),
+dfs AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t)
+SELECT tf.doc_id,
+       ROUND(SUM(
+           LN((stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5) + 1.0)
+           * (tf.tf * (1.2 + 1.0))
+           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+       ), 6) AS score,
+       CAST(COUNT(*) AS BIGINT) AS hits
+FROM tf JOIN dfs USING (t) JOIN dl ON tf.doc_id = dl.doc_id, stats
+GROUP BY tf.doc_id
+ORDER BY score DESC, tf.doc_id ASC LIMIT 10
+"""
+
+
+SQL_BM25_PREFIX = _sql_bm25_expansion(f"t LIKE '{PREFIX_QUERY}%'")
+SQL_BM25_FUZZY = _sql_bm25_expansion(
+    f"levenshtein(t, '{FUZZY_QUERY}') <= 1")
+
+
+def q_bm25_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY production path: Levenshtein<=1 term-dictionary expansion
+    (banded edit distance over length-filtered vocabulary), then OR-BM25
+    over the expansion set. Oracle: the same OR-BM25 with the expansion
+    expressed via DuckDB's levenshtein()."""
+    idx = _plain_pos_index(spark, sf_dir)
+    res = idx.search(FUZZY_QUERY, engine="bm25_fuzzy", k=10)
+    return res.select(
+        F.expr("cast(substring(url, 5, 12) as bigint)").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+        F.col("hits").cast("long").alias("hits"),
+    )
+
+
 _SQL_BM25_STEMMED_CACHE: str | None = None
 
 
@@ -1382,6 +1529,9 @@ QUERIES = {
     "vg_bm25_tie_boundary": q_bm25_tie_boundary,
     "vg_bm25_batched": q_bm25_batched,
     "vg_bm25_or_topk": q_bm25_or_topk,
+    "vg_phrase_search": q_phrase_search,
+    "vg_bm25_prefix": q_bm25_prefix,
+    "vg_bm25_fuzzy": q_bm25_fuzzy,
     "vg_hits_duplicate_tokens": q_hits_duplicate_tokens,
     "vg_missing_term_early_exit": q_missing_term_early_exit,
     "vg_match_all": q_match_all,
@@ -1415,6 +1565,9 @@ ORACLES = {
     # vg_bm25_stemmed is added lazily by get_oracles() (import-time cost)
     "vg_bm25_tie_boundary": _sql_bm25_tie_boundary(),
     "vg_bm25_or_topk": SQL_BM25_OR,
+    "vg_phrase_search": SQL_PHRASE,
+    "vg_bm25_prefix": SQL_BM25_PREFIX,
+    "vg_bm25_fuzzy": SQL_BM25_FUZZY,
     "vg_hits_duplicate_tokens": SQL_HITS_DUP,
     "vg_missing_term_early_exit": SQL_MISSING_TERM,
     "vg_match_all": SQL_MATCH_ALL,
