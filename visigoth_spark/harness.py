@@ -1233,6 +1233,53 @@ GROUP BY d.source
 """
 
 
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 bigram collocations by PMI (Church & Hanks) with a
+    min-count floor — the phrase-mining pass of a training-data
+    pipeline."""
+    return P.collocations(_docs(spark, sf_dir), min_count=5, k=20)
+
+
+SQL_COLLOCATIONS = f"""
+WITH {SQL_TOKLIST},
+bg AS (
+    SELECT l[i] AS w1, l[i+1] AS w2
+    FROM tl, LATERAL (SELECT unnest(range(1, len(l))) AS i) r
+    WHERE len(l) >= 2
+),
+uni AS (SELECT unnest(l) AS w FROM tl),
+c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2),
+cu AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
+nb AS (SELECT COUNT(*) AS nb FROM bg),
+nu AS (SELECT COUNT(*) AS nu FROM uni)
+SELECT w1, w2, CAST(c12 AS BIGINT) AS c12,
+       ROUND(LN(c12 * nu.nu * nu.nu / (nb.nb * cu1.c * cu2.c)), 6) AS pmi
+FROM c12
+JOIN cu cu1 ON c12.w1 = cu1.w
+JOIN cu cu2 ON c12.w2 = cu2.w, nb, nu
+WHERE c12 >= 5
+ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 20
+"""
+
+
+def q_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc mean negative log-likelihood under the corpus unigram LM —
+    the deterministic stand-in for CCNet-style perplexity quality
+    filtering."""
+    return P.unigram_nll(_docs(spark, sf_dir))
+
+
+SQL_UNIGRAM_NLL = f"""
+WITH {SQL_TOKENS},
+cu AS (SELECT t, COUNT(*) AS c FROM toks GROUP BY t),
+nu AS (SELECT COUNT(*) AS nu FROM toks)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(-AVG(LN(c / nu.nu)), 6) AS nll
+FROM toks JOIN cu USING (t), nu
+GROUP BY doc_id
+"""
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.fingerprint(_docs(spark, sf_dir))
 
@@ -1547,6 +1594,8 @@ QUERIES = {
     "token_count": q_token_count,
     "quality_repetition": q_quality_repetition,
     "domain_stats": q_domain_stats,
+    "collocations": q_collocations,
+    "unigram_nll": q_unigram_nll,
     "doc_fingerprint": q_doc_fingerprint,
     "doc_winnow": q_doc_winnow,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -1583,6 +1632,8 @@ ORACLES = {
     "token_count": SQL_TOKEN_COUNT,
     "quality_repetition": SQL_QUALITY_REPETITION,
     "domain_stats": SQL_DOMAIN_STATS,
+    "collocations": SQL_COLLOCATIONS,
+    "unigram_nll": SQL_UNIGRAM_NLL,
     "doc_fingerprint": SQL_FINGERPRINT,
     "doc_winnow": SQL_WINNOW,
     "ann_cosine_topk": SQL_ANN_COSINE,

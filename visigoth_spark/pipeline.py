@@ -810,6 +810,91 @@ def domain_stats(df: DataFrame, domain_col: str = "source",
     )
 
 
+def collocations(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", min_count: int = 5,
+                 k: int = 20) -> DataFrame:
+    """Top-k bigram collocations by pointwise mutual information — the
+    phrase-mining pass of a web-corpus pipeline (finds multiword units
+    worth treating as single tokens; classic Church & Hanks 1990 PMI over
+    corpus bigrams). PMI = ln(p(w1,w2) / (p(w1) p(w2))) with
+    p(w1,w2) = c12/NB over adjacent pairs and p(w) = c/NU over unigrams;
+    ``min_count`` drops the unstable low-count tail.
+
+    Plan shape (100 TB): two counting shuffles (bigram keys, unigram
+    keys), both with map-side partial aggregation; corpus totals ride in
+    as broadcast crossJoins; the final top-k is orderBy+limit
+    (TakeOrdered — never a full sort). Ordering ties break on the ROUNDED
+    pmi then (w1, w2), so the result is engine-independent at float-ulp
+    boundaries."""
+    toks = with_tokens(df, text_col)
+    bigrams = F.when(
+        F.size("tokens") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("tokens") - 1),
+            lambda i: F.struct(
+                F.element_at("tokens", i).alias("w1"),
+                F.element_at("tokens", i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bg = toks.select(F.explode(bigrams).alias("b")).select("b.w1", "b.w2")
+    uni = toks.select(F.explode("tokens").alias("w"))
+    c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    cu = uni.groupBy("w").agg(F.count("*").alias("c"))
+    nb = bg.agg(F.count("*").alias("nb"))
+    nu = uni.agg(F.count("*").alias("nu"))
+    pmi = F.round(
+        F.log(
+            F.col("c12") * F.col("nu") * F.col("nu")
+            / (F.col("nb") * F.col("c1") * F.col("c2"))
+        ),
+        6,
+    )
+    return (
+        c12.filter(F.col("c12") >= min_count)
+        .join(cu.select(F.col("w").alias("w1"), F.col("c").alias("c1")),
+              "w1")
+        .join(cu.select(F.col("w").alias("w2"), F.col("c").alias("c2")),
+              "w2")
+        .crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(nu))
+        .select("w1", "w2", F.col("c12").cast("long").alias("c12"),
+                pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+        .limit(k)
+    )
+
+
+def unigram_nll(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Per-document mean negative log-likelihood under the corpus's own
+    unigram language model — the deterministic in-repo stand-in for the
+    CCNet-style LM-perplexity quality filter (docs whose token
+    distribution is far from the corpus read as noise/boilerplate and
+    score high). nll = -(1/n) sum_i ln(count(t_i)/NU); no smoothing
+    needed (every scored token is in the corpus by construction).
+
+    Plan shape (100 TB): one unigram-count shuffle (map-side partial
+    agg), one (token -> count) join against the exploded corpus (AQE
+    picks broadcast vs SMJ by vocabulary size), one per-doc aggregation
+    keyed by the doc id. Docs with zero analyzed tokens are excluded
+    (no tokens to score)."""
+    toks = with_tokens(df, text_col)
+    flat = toks.select(F.col(id_col), F.explode("tokens").alias("w"))
+    cu = flat.groupBy("w").agg(F.count("*").alias("c"))
+    nu = flat.agg(F.count("*").alias("nu"))
+    return (
+        flat.join(cu, "w")
+        .crossJoin(F.broadcast(nu))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.round(-F.avg(F.log(F.col("c") / F.col("nu"))), 6)
+            .alias("nll"),
+        )
+    )
+
+
 def fingerprint(df: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """Document fingerprint: md5 of whitespace-normalized lowercase text
