@@ -544,6 +544,57 @@ def main() -> None:
     }
     shutil.rmtree(tmp_uri, ignore_errors=True)
 
+    # --- positional index: phrase / prefix / fuzzy ---------------------------
+    # same corpus built with store_positions=True (pos_blob varbyte streams
+    # encoded in the same fused pass), then the positional query suite.
+    # Reported: positional build throughput (vs the plain uri/main builds —
+    # same-window caveat in BASELINE.md), position bytes/posting (the
+    # storage price of phrase queries), and per-query latencies.
+    tmp_pos = tempfile.mkdtemp(prefix="vg_bench_pos_", dir="/dev/shm")
+    idx_pos_dir = os.path.join(tmp_pos, "idx")
+    t0 = time.time()
+    _bi(spark, spark.read.parquet(corpus_path), idx_pos_dir,
+        num_partitions=cores_hi * 2, assume_sorted=True,
+        store_positions=True)
+    pos_build_wall = time.time() - t0
+    from pyspark.sql import functions as _F
+
+    bytes_pos = (
+        spark.read.option("basePath", os.path.join(idx_pos_dir, "data"))
+        .parquet(os.path.join(idx_pos_dir, "data"))
+        .filter(_F.col("kind") == "s")
+        .agg(_F.sum(_F.length("pos_blob"))).collect()[0][0]
+    ) or 0
+    from visigoth_spark.build import load_stats as _load_stats_pos
+
+    pos_stats = _load_stats_pos(idx_pos_dir)
+    idx_p = SearchIndex(spark, idx_pos_dir)
+    POS_SUITE = [
+        ("phrase_head", "programacion programa", "phrase"),
+        ("phrase_2term", "curso programa", "phrase"),
+        ("prefix_head", "progr", "bm25_prefix"),
+        ("fuzzy_1edit", "pithon", "bm25_fuzzy"),
+    ]
+    idx_p.search("curso programa", "phrase", 10).collect()  # warm
+    queries_pos: dict[str, float] = {}
+    for _pass in range(2):
+        for name, q, engine in POS_SUITE:
+            t0 = time.time()
+            idx_p.search(q, engine, 10).collect()
+            dt = round(time.time() - t0, 4)
+            if name not in queries_pos or dt < queries_pos[name]:
+                queries_pos[name] = dt
+    positional_info = {
+        "build_docs_per_sec": round(n_docs / pos_build_wall, 1),
+        "bytes_pos": int(bytes_pos),
+        "pos_bytes_per_posting": round(
+            bytes_pos / pos_stats["n_postings"], 3),
+        "queries": queries_pos,
+        "phrase_p50": round(statistics.median(
+            [queries_pos[n] for n, _, e in POS_SUITE if e == "phrase"]), 4),
+    }
+    shutil.rmtree(tmp_pos, ignore_errors=True)
+
     # --- compaction (force-merge) at bench scale -----------------------------
     # timed rewrite of the full index (decode -> url-order docid remap ->
     # re-encode, term-range segment files), then the same query suite on the
@@ -677,6 +728,7 @@ def main() -> None:
         "compact": compact_info,
         "resume": resume_info,
         "storage": storage_info,
+        "positional": positional_info,
         "index": index_info,
     }
     write_bench_md(result)
@@ -700,6 +752,7 @@ def main() -> None:
         "build_docs_per_sec_hi": result["build"]["docs_per_sec_hi"],
         "scaling_efficiency": result["build"]["scaling_efficiency"],
         "bm25_p50": result["bm25_latency"]["p50"],
+        "phrase_p50": result["positional"]["phrase_p50"],
         "full": "bench_out.json",
     }
     print(json.dumps(compact), flush=True)
@@ -738,8 +791,13 @@ pairs in the JSON. Details + host-noise evidence: BASELINE.md.
 | kill+resume: resumed-build wall | {r['resume']['resume_wall']} s | SIGKILL at {r['resume']['killed_after_sec']} s ({r['resume']['batches_committed_at_kill']}/8 batches committed); resume completes only the rest |
 | resumed ≡ cold segments | {r['resume']['segments_identical_to_cold']} | content digest over every posting segment row |
 | object-store-path build throughput | {r.get('storage', {}).get('uri_build_docs_per_sec', '-')} docs/s | {r.get('storage', {}).get('scheme', '')}; delta vs the POSIX build is the control-plane overhead |
+| positional build throughput | {r.get('positional', {}).get('build_docs_per_sec', '-')} docs/s | store_positions=True: pos_blob streams encoded in the same fused pass |
+| position bytes/posting | {r.get('positional', {}).get('pos_bytes_per_posting', '-')} | the storage price of phrase queries, on top of blob bytes/posting |
+| phrase top-10 p50 | {r.get('positional', {}).get('phrase_p50', '-')} s | AND intersect + vectorized adjacency chain over decoded positions |
 
 Per-query latencies (sec): {json.dumps(r['queries'], indent=0)}
+
+Positional suite (sec): {json.dumps(r.get('positional', {}).get('queries', {}), indent=0)}
 """
     with open(os.path.join(_REPO, "BENCH.md"), "w") as f:
         f.write(md)

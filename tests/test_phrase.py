@@ -251,9 +251,27 @@ def test_phrase_survives_compaction(spark, pos_idx, tmp_path):
     assert after == before
 
 
-def test_phrase_rejected_in_search_many(pos_idx):
-    with pytest.raises(ValueError, match="batch engine"):
-        pos_idx.search_many(["alpha beta"], engine="phrase")
+def test_search_many_phrase_matches_single(pos_idx):
+    qs = ["alpha beta", "echo echo", "alpha nosuchterm"]
+    rows = pos_idx.search_many(qs, engine="phrase", k=5).collect()
+    by_qid: dict[int, list] = {}
+    for r in rows:
+        by_qid.setdefault(r["qid"], []).append(
+            (r["url"], r["score"], r["hits"]))
+    for qid, q in enumerate(qs):
+        single = _got(pos_idx.search(q, engine="phrase", k=5))
+        assert by_qid.get(qid, []) == single, q
+
+
+def test_search_many_phrase_requires_positions(spark, tmp_path):
+    from visigoth_spark.build import build_index
+
+    out = str(tmp_path / "plainidx2")
+    df = spark.createDataFrame(DOCS[:4], "url string, text string")
+    build_index(spark, df, out, analyzer=AN, num_partitions=2)
+    idx = SearchIndex(spark, out, analyzer=AN)
+    with pytest.raises(ValueError, match="store_positions"):
+        idx.search_many(["alpha beta"], engine="phrase")
 
 
 def test_explain_phrase(pos_idx):

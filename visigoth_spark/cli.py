@@ -104,6 +104,9 @@ def cmd_build(argv: list[str]) -> int:
     p.add_argument("--statement-col", default=None,
                    help="index THIS column, store text as content "
                         "(DocRequest statement/content split)")
+    p.add_argument("--store-positions", action="store_true",
+                   help="store positional postings (enables "
+                        "--engine phrase at query time)")
     a = p.parse_args(argv)
 
     from visigoth_spark.analysis import AnalyzerConfig, DEFAULT_ANALYZER
@@ -116,7 +119,7 @@ def cmd_build(argv: list[str]) -> int:
         spark, _load_corpus(spark, a), a.out, analyzer=analyzer,
         num_partitions=a.partitions, n_batches=a.batches, resume=a.resume,
         assume_sorted=a.sorted, store_raw=a.store_raw,
-        statement_col=a.statement_col,
+        statement_col=a.statement_col, store_positions=a.store_positions,
     )
     print(json.dumps({
         "n_docs": m.n_docs, "n_postings": m.n_postings,
@@ -132,7 +135,8 @@ def cmd_query(argv: list[str]) -> int:
     p.add_argument("--index", required=True)
     p.add_argument("--engine", default="bm25",
                    choices=["bm25", "bm25_wand", "bm25_exhaustive",
-                            "bm25_or", "hits", "linear", "noop_zero",
+                            "bm25_or", "phrase", "bm25_prefix",
+                            "bm25_fuzzy", "hits", "linear", "noop_zero",
                             "noop_all"])
     p.add_argument("-k", type=int, default=10)
     p.add_argument("--no-stem", action="store_true")

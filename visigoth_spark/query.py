@@ -1115,10 +1115,13 @@ class SearchIndex:
 
         Returns (qid, url, docid, score, hits[, raw]), each qid's rows in
         the engine's order. qid = position in ``queries``."""
-        if engine not in ENGINES or engine in (
-            "noop_zero", "noop_all", "phrase"
-        ):
+        if engine not in ENGINES or engine in ("noop_zero", "noop_all"):
             raise ValueError(f"unsupported batch engine {engine!r}")
+        if engine == "phrase" and not self.has_positions:
+            raise ValueError(
+                "engine='phrase' requires an index built with "
+                "store_positions=True"
+            )
         if route not in ("auto", "driver", "spark"):
             raise ValueError(f"unknown route {route!r}")
         if k <= 0:  # LIMIT 0 semantics (see search())
@@ -1155,7 +1158,7 @@ class SearchIndex:
         kernels: list[tuple[int, object]] = []
         for qid, p in sorted(plans.items()):
             terms = p["terms"]
-            if (engine == "linear" or engine in _AND_BM25) and any(
+            if (engine in ("linear", "phrase") or engine in _AND_BM25) and any(
                 dfs[t] == 0 for t in terms
             ):
                 continue
@@ -1171,6 +1174,7 @@ class SearchIndex:
             kernels.append((qid, _make_kernel(
                 engine, terms, mult, idf, avgdl,
                 threshold=len(p["tokens"]), k=k, dfs=dfs,
+                tokens=p["tokens"],
             )))
         if not kernels:
             return self._empty_batch_result(include_raw)
@@ -1217,7 +1221,8 @@ class SearchIndex:
                                for t in plans[qid]["terms"]})
                 decoded = {}
                 for t in need:
-                    d = self._decoded_term(t)
+                    d = (self._decoded_term_pos(t) if engine == "phrase"
+                         else self._decoded_term(t))
                     if d is None:  # can't read driver-side
                         rows_out = None
                         break
@@ -1227,11 +1232,18 @@ class SearchIndex:
                                    ("bm25", "bm25_wand") else engine)
                     for qid in light:
                         p = plans[qid]
-                        out = _decoded_body(
-                            {t: decoded[t] for t in p["terms"]},
-                            body_engine, p["terms"], p["mult"], p["idf"],
-                            avgdl, threshold=len(p["tokens"]), k=k,
-                        )
+                        if engine == "phrase":
+                            out = _phrase_body(
+                                {t: decoded[t] for t in p["terms"]},
+                                p["tokens"], p["idf"], avgdl, k,
+                            )
+                        else:
+                            out = _decoded_body(
+                                {t: decoded[t] for t in p["terms"]},
+                                body_engine, p["terms"], p["mult"],
+                                p["idf"], avgdl,
+                                threshold=len(p["tokens"]), k=k,
+                            )
                         if len(out):
                             rows_out.extend(
                                 {"qid": qid, "docid": int(r.docid),
@@ -1245,7 +1257,11 @@ class SearchIndex:
                         {t for qid, _ in heavy
                          for t in plans[qid]["terms"]}
                     )
-                    seg = self._seg_scan(heavy_terms)
+                    seg = self._seg_scan(
+                        heavy_terms,
+                        cols=(self._SEG_COLS + ["pos_blob"]
+                              if engine == "phrase" else None),
+                    )
                     if seg is not None:  # None -> provably no rows
                         rows_out.extend(
                             seg.groupBy("bucket").applyInPandas(
@@ -1255,7 +1271,11 @@ class SearchIndex:
                         )
                 local = rows_out
         if local is None:
-            seg = self._seg_scan(live_terms)
+            seg = self._seg_scan(
+                live_terms,
+                cols=(self._SEG_COLS + ["pos_blob"]
+                      if engine == "phrase" else None),
+            )
             if seg is None:  # no segment file can contain any live term
                 return self._empty_batch_result(include_raw)
             local = seg.groupBy("bucket").applyInPandas(
