@@ -334,3 +334,28 @@ def test_positions_column_ignored_by_other_engines(pos_idx):
     # non-phrase engines on a positions index behave normally
     got = _got(pos_idx.search("alpha beta", engine="bm25", k=5))
     assert len(got) > 0
+
+
+def test_phrase_and_expansion_on_object_store_uri(spark, tmp_path):
+    """Positional index at a file:// URI (HadoopStore control plane): the
+    driver-side pos read is unavailable, so phrase runs the DISTRIBUTED
+    route with pos_blob in the pruned scan; prefix expansion falls back to
+    the Spark termdict scan. Results must equal the POSIX oracle."""
+    from visigoth_spark.build import build_index
+
+    out = "file://" + str(tmp_path / "uidx")
+    df = spark.createDataFrame(DOCS, "url string, text string")
+    build_index(spark, df, out, analyzer=AN, num_partitions=2,
+                store_positions=True)
+    idx = SearchIndex(spark, out, analyzer=AN)
+    assert idx.has_positions
+    corpus = _analyzed()
+    want = phrase_oracle(corpus, ("alpha", "beta"))
+    got = _got(idx.search("alpha beta", engine="phrase", k=10))
+    _assert_matches(got, want)
+    # expansion over the Spark-read termdict
+    assert idx.expand_prefix("pre") == ["prefab", "prefix", "presto"]
+    a = _got(idx.search("pre", engine="bm25_prefix", k=10))
+    exp = idx.expand_prefix("pre")
+    b = _got(idx.search(" ".join(exp), engine="bm25_or", k=10))
+    assert a == b and len(a) > 0

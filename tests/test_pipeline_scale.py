@@ -337,3 +337,67 @@ class TestConnectedComponents:
         P.unpersist_deps(pairs)
         assert got[0] == got[1] == got[2] == 0
         assert all(got[i] != 0 for i in range(3, 10))
+
+
+class TestCollocations:
+    def test_constructed_pmi_exact(self, spark):
+        import math
+
+        # 6 docs: "x y" always adjacent (perfect collocation), "a b" only
+        # sometimes, plus independent filler
+        rows = [
+            (0, "x y a c"), (1, "x y b d"), (2, "x y a b"),
+            (3, "c a x y"), (4, "d b x y"), (5, "x y c d"),
+        ]
+        out = {(r["w1"], r["w2"]): (r["c12"], r["pmi"])
+               for r in P.collocations(
+                   _docs_df(spark, rows), min_count=3, k=10).collect()}
+        # python oracle
+        from collections import Counter
+
+        uni, bg = Counter(), Counter()
+        for _, t in rows:
+            toks = t.split()
+            uni.update(toks)
+            bg.update(zip(toks, toks[1:]))
+        nu, nb = sum(uni.values()), sum(bg.values())
+        for (w1, w2), (c12, pmi) in out.items():
+            assert c12 == bg[(w1, w2)]
+            want = math.log(c12 * nu * nu / (nb * uni[w1] * uni[w2]))
+            assert abs(pmi - round(want, 6)) < 1e-9
+        assert ("x", "y") in out and out[("x", "y")][0] == 6
+        # min_count floor drops rarer pairs
+        assert all(c >= 3 for c, _ in out.values())
+
+    def test_plan_partial_agg_no_collect(self, spark):
+        plan = P.collocations(_docs_df(spark, [(0, "a b a b")])) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "collect_list" not in plan
+        assert "partial" in plan.lower()
+
+
+class TestUnigramNLL:
+    def test_constructed_exact(self, spark):
+        import math
+
+        rows = [(0, "a a b"), (1, "b c")]
+        out = {r["doc_id"]: (r["n_tokens"], r["nll"])
+               for r in P.unigram_nll(_docs_df(spark, rows)).collect()}
+        # counts: a=2, b=2, c=1, NU=5
+        nll0 = -(math.log(2 / 5) + math.log(2 / 5) + math.log(2 / 5)) / 3
+        nll1 = -(math.log(2 / 5) + math.log(1 / 5)) / 2
+        assert out[0] == (3, round(nll0, 6))
+        assert out[1] == (2, round(nll1, 6))
+
+    def test_rare_token_doc_scores_higher(self, spark):
+        rows = [(i, "common words here") for i in range(8)]
+        rows.append((99, "xylophone quux zzyzx"))
+        out = {r["doc_id"]: r["nll"]
+               for r in P.unigram_nll(_docs_df(spark, rows)).collect()}
+        assert out[99] > max(v for k, v in out.items() if k != 99)
+
+    def test_plan_partial_agg(self, spark):
+        plan = P.unigram_nll(_docs_df(spark, [(0, "a b")])) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "collect_list" not in plan
+        assert "partial" in plan.lower()
