@@ -359,3 +359,143 @@ def test_phrase_and_expansion_on_object_store_uri(spark, tmp_path):
     exp = idx.expand_prefix("pre")
     b = _got(idx.search(" ".join(exp), engine="bm25_or", k=10))
     assert a == b and len(a) > 0
+
+
+# ---- slop (ordered total-window proximity) -----------------------------------
+
+
+def proximity_oracle(corpus, tokens, slop, k=10):
+    """Brute-force windowed-proximity scorer: ptf = number of start
+    positions p0 of tokens[0] from which SOME in-order chain of all tokens
+    fits in a window of len(tokens)+slop (exhaustive DFS — independently
+    validates the engine's greedy-earliest walk)."""
+    n, avgdl, dfs = _stats(corpus)
+    m = len(tokens)
+    out = []
+    for url, toks in sorted(corpus.items()):
+        occ = {t: [i for i, x in enumerate(toks) if x == t]
+               for t in set(tokens)}
+
+        def chain_exists(j, prev, p0):
+            if j == m:
+                return prev - p0 <= m - 1 + slop
+            return any(
+                p > prev and chain_exists(j + 1, p, p0)
+                for p in occ[tokens[j]]
+                if p > prev and p - p0 <= m - 1 + slop
+            )
+
+        ptf = sum(1 for p0 in occ.get(tokens[0], [])
+                  if chain_exists(1, p0, p0))
+        if ptf:
+            coeff = sum(_idf(n, dfs[t]) for t in tokens)
+            dl = len(toks)
+            s = coeff * (ptf * (BM25_K1 + 1.0)) / (
+                ptf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl)
+            )
+            out.append((url, s, ptf))
+    out.sort(key=lambda r: (-r[1], r[0]))
+    return out[:k]
+
+
+def test_slop_widens_match_set(pos_idx):
+    corpus = _analyzed()
+    # u01 = "alpha gamma beta delta": alpha..beta span 3, needs slop>=1
+    strict = {g[0] for g in _got(pos_idx.search(
+        "alpha beta", engine="phrase", k=16))}
+    sloppy = {g[0] for g in _got(pos_idx.search(
+        "alpha beta", engine="phrase", k=16, slop=1))}
+    assert "u01" not in strict and "u01" in sloppy
+    assert strict <= sloppy
+    want = proximity_oracle(corpus, ["alpha", "beta"], 1, k=16)
+    got = _got(pos_idx.search("alpha beta", engine="phrase", k=16, slop=1))
+    _assert_matches(got, want)
+
+
+def test_slop_zero_equals_phrase(pos_idx):
+    a = _got(pos_idx.search("alpha beta", engine="phrase", k=10))
+    b = _got(pos_idx.search("alpha beta", engine="phrase", k=10, slop=0))
+    assert a == b
+
+
+def test_slop_routes_identical(pos_idx):
+    a = _got(pos_idx.search("alpha beta gamma", engine="phrase", k=10,
+                            slop=2, route="driver"))
+    b = _got(pos_idx.search("alpha beta gamma", engine="phrase", k=10,
+                            slop=2, route="spark"))
+    assert a == b and len(a) > 0
+
+
+def test_slop_requires_phrase_engine(pos_idx):
+    with pytest.raises(ValueError, match="slop"):
+        pos_idx.search("alpha", engine="bm25", slop=1)
+    with pytest.raises(ValueError, match="slop"):
+        pos_idx.search_many(["alpha"], engine="bm25", slop=1)
+
+
+def test_search_many_slop_matches_single(pos_idx):
+    qs = ["alpha beta", "alpha delta"]
+    rows = pos_idx.search_many(qs, engine="phrase", k=5, slop=2).collect()
+    by_qid: dict[int, list] = {}
+    for r in rows:
+        by_qid.setdefault(r["qid"], []).append(
+            (r["url"], r["score"], r["hits"]))
+    for qid, q in enumerate(qs):
+        single = _got(pos_idx.search(q, engine="phrase", k=5, slop=2))
+        assert by_qid.get(qid, []) == single, q
+
+
+def test_phrase_body_fuzz_vs_brute():
+    """Direct _phrase_body fuzz (no Spark): random small-alphabet docs,
+    random 2-3 token queries, slop 0..3, vs the exhaustive DFS oracle."""
+    import math
+
+    from visigoth_spark.query import _phrase_body
+
+    rng = np.random.default_rng(23)
+    alpha = list("abcde")
+    for trial in range(120):
+        n_docs = int(rng.integers(2, 7))
+        docs = {d: [alpha[i] for i in rng.integers(0, len(alpha),
+                                                   rng.integers(3, 15))]
+                for d in range(n_docs)}
+        m = int(rng.integers(2, 4))
+        tokens = [alpha[i] for i in rng.integers(0, len(alpha), m)]
+        slop = int(rng.integers(0, 4))
+        # build decoded arrays per distinct term
+        decoded = {}
+        for t in set(tokens):
+            ids, tfs, dls, pos = [], [], [], []
+            for d in sorted(docs):
+                p = [i for i, x in enumerate(docs[d]) if x == t]
+                if p:
+                    ids.append(d)
+                    tfs.append(len(p))
+                    dls.append(len(docs[d]))
+                    pos.extend(p)
+            decoded[t] = (np.array(ids, dtype=np.int64),
+                          np.array(tfs, dtype=np.int64),
+                          np.array(dls, dtype=np.int64),
+                          np.array(pos, dtype=np.int64))
+        idf = {t: 1.0 for t in tokens}  # uniform: isolates the matching
+        avgdl = sum(len(v) for v in docs.values()) / n_docs
+        out = _phrase_body(decoded, tokens, idf, avgdl, k=None, slop=slop)
+        got = {int(r.docid): int(r.hits) for r in out.itertuples()}
+        # brute DFS
+        want = {}
+        for d, toks in docs.items():
+            occ = {t: [i for i, x in enumerate(toks) if x == t]
+                   for t in set(tokens)}
+
+            def chain(j, prev, p0):
+                if j == m:
+                    return prev - p0 <= m - 1 + slop
+                return any(p > prev and chain(j + 1, p, p0)
+                           for p in occ[tokens[j]]
+                           if p - p0 <= m - 1 + slop)
+
+            ptf = sum(1 for p0 in occ.get(tokens[0], [])
+                      if chain(1, p0, p0))
+            if ptf:
+                want[d] = ptf
+        assert got == want, (trial, tokens, slop, docs, got, want)

@@ -890,16 +890,22 @@ class SearchIndex:
 
     # ---- engines ------------------------------------------------------------
     def search(self, query: str, engine: str = "bm25", k: int | None = 10,
-               include_raw: bool = False, route: str = "auto") -> DataFrame:
+               include_raw: bool = False, route: str = "auto",
+               slop: int = 0) -> DataFrame:
         """Returns a DataFrame (url, docid, score, hits[, raw]) ordered by
         the engine's contract. Engines: bm25 (= block-max WAND) | bm25_wand
         (alias) | bm25_exhaustive (full-decode test oracle) | bm25_or |
-        hits | linear | noop_zero | noop_all.
+        phrase | bm25_prefix | bm25_fuzzy | hits | linear | noop_zero |
+        noop_all.
 
         ``include_raw`` hydrates the stored document content into a ``raw``
         column (≙ Doc.Raw, search_result.go:6-9 / the "raw" field of
         search_result_easyjson.go:127-142); requires an index built with
         ``store_raw=True`` (raises otherwise).
+
+        ``slop`` (engine="phrase" only): 0 = exact adjacency; s > 0 allows
+        the tokens to appear IN ORDER within a window of len(tokens)+s
+        analyzed tokens (total-window ordered proximity).
 
         ``route``: "auto" (default) serves small top-k queries driver-side
         — same pruned files, same kernels, no Spark job — and big ones
@@ -912,6 +918,11 @@ class SearchIndex:
             )
         if route not in ("auto", "driver", "spark"):
             raise ValueError(f"unknown route {route!r}")
+        if slop:
+            if engine != "phrase":
+                raise ValueError("slop is only meaningful for engine='phrase'")
+            if slop < 0:
+                raise ValueError("slop must be >= 0")
         if include_raw and not self.has_raw:
             raise ValueError(
                 "include_raw requires an index built with store_raw=True"
@@ -971,7 +982,7 @@ class SearchIndex:
 
         kernel = _make_kernel(engine, terms, multiplicity, idf, avgdl,
                               threshold=len(tokens), k=k, dfs=dfs,
-                              tokens=tokens)
+                              tokens=tokens, slop=slop)
         top = None
         if k is not None and self._route_driver(dfs, route):
             decoded = {}
@@ -984,7 +995,8 @@ class SearchIndex:
                 decoded[t] = d
             if decoded is not None:
                 if engine == "phrase":
-                    out = _phrase_body(decoded, tokens, idf, avgdl, k)
+                    out = _phrase_body(decoded, tokens, idf, avgdl, k,
+                                       slop=slop)
                 else:
                     # with whole-term decoded arrays in hand, exhaustive
                     # exact scoring IS the fastest plan (WAND's partial
@@ -1098,7 +1110,7 @@ class SearchIndex:
 
     def search_many(self, queries: list[str], engine: str = "bm25",
                     k: int = 10, include_raw: bool = False,
-                    route: str = "auto") -> DataFrame:
+                    route: str = "auto", slop: int = 0) -> DataFrame:
         """Batched top-k: run MANY queries in ONE Spark job (or ZERO — see
         ``route``). The postings scan covers the union of all queries'
         terms; the per-bucket kernel evaluates every query against the
@@ -1122,6 +1134,8 @@ class SearchIndex:
                 "engine='phrase' requires an index built with "
                 "store_positions=True"
             )
+        if slop and engine != "phrase":
+            raise ValueError("slop is only meaningful for engine='phrase'")
         if route not in ("auto", "driver", "spark"):
             raise ValueError(f"unknown route {route!r}")
         if k <= 0:  # LIMIT 0 semantics (see search())
@@ -1174,7 +1188,7 @@ class SearchIndex:
             kernels.append((qid, _make_kernel(
                 engine, terms, mult, idf, avgdl,
                 threshold=len(p["tokens"]), k=k, dfs=dfs,
-                tokens=p["tokens"],
+                tokens=p["tokens"], slop=slop,
             )))
         if not kernels:
             return self._empty_batch_result(include_raw)
@@ -1235,7 +1249,7 @@ class SearchIndex:
                         if engine == "phrase":
                             out = _phrase_body(
                                 {t: decoded[t] for t in p["terms"]},
-                                p["tokens"], p["idf"], avgdl, k,
+                                p["tokens"], p["idf"], avgdl, k, slop=slop,
                             )
                         else:
                             out = _decoded_body(
@@ -1518,19 +1532,26 @@ def _edit_distance_le(a: str, b: str, k: int) -> bool:
 
 
 def _phrase_body(decoded: dict, tokens: list[str], idf: dict[str, float],
-                 avgdl: float, k: int | None) -> pd.DataFrame:
-    """Exact phrase match + scoring over positional decoded arrays —
-    shared by the per-bucket executor kernel and the driver hot path.
+                 avgdl: float, k: int | None, slop: int = 0
+                 ) -> pd.DataFrame:
+    """Exact phrase / ordered-proximity match + scoring over positional
+    decoded arrays — shared by the per-bucket executor kernel and the
+    driver hot path.
 
     ``decoded[t] = (ids, tfs, dls, positions)`` per DISTINCT term;
-    ``tokens`` is the analyzed query in order (duplicates meaningful:
-    token j must occur at start+j). Semantics: a doc matches when the
-    full adjacency chain exists in its ANALYZED token sequence;
-    phrase tf = number of start positions; score is Lucene-PhraseQuery-
-    style BM25 — (sum of the tokens' idfs) x the BM25 tf-normalization
-    of the phrase tf. Fully vectorized: occurrences become composite
-    docid*M+pos keys and the chain is a k-way sorted-array intersection
-    (same _gallop_intersect as the boolean AND path)."""
+    ``tokens`` is the analyzed query in order (duplicates meaningful).
+    Semantics: with ``slop=0`` a doc matches where the full ADJACENCY
+    chain exists in its analyzed token sequence (token j at start+j);
+    with ``slop=s`` the tokens must appear IN ORDER within a window of
+    len(tokens)+s tokens (total-window proximity — chosen over per-gap
+    windows because greedy-earliest chaining is provably exact for it:
+    minimizing each intermediate position minimizes the final span).
+    phrase tf = number of start positions admitting a chain; score is
+    Lucene-PhraseQuery-style BM25 — (sum of the tokens' idfs) x the BM25
+    tf-normalization of the phrase tf. Fully vectorized: occurrences
+    become composite docid*M+pos keys; slop=0 is a k-way sorted-array
+    intersection (same _gallop_intersect as boolean AND), slop>0 a
+    per-step vectorized searchsorted walk."""
     terms = sorted(set(tokens))
     lists = [decoded[t][0] for t in terms]
     if any(len(x) == 0 for x in lists):
@@ -1562,10 +1583,35 @@ def _phrase_body(decoded: dict, tokens: list[str], idf: dict[str, float],
         p_sel = pos[gather]
         doc_rep = np.repeat(cand, tf_sel)
         keys[t] = doc_rep * M + p_sel  # strictly ascending
-    surv = _gallop_intersect([keys[tok] - j for j, tok in enumerate(tokens)])
-    if len(surv) == 0:
-        return _EMPTY
-    docs, ptf = np.unique(surv // M, return_counts=True)
+    if slop == 0:
+        surv = _gallop_intersect(
+            [keys[tok] - j for j, tok in enumerate(tokens)])
+        if len(surv) == 0:
+            return _EMPTY
+        docs, ptf = np.unique(surv // M, return_counts=True)
+    else:
+        # greedy-earliest ordered walk, then the total-window check
+        cur = keys[tokens[0]]
+        doc0 = cur // M
+        p0 = cur
+        for tok in tokens[1:]:
+            if len(cur) == 0:
+                break
+            kj = keys[tok]
+            if len(kj) == 0:
+                cur = cur[:0]
+                break
+            idx = np.searchsorted(kj, cur + 1)
+            ok = idx < len(kj)
+            nxt = kj[np.minimum(idx, len(kj) - 1)]
+            ok &= nxt // M == doc0  # earliest in-order occ, same doc
+            cur, doc0, p0 = nxt[ok], doc0[ok], p0[ok]
+        if len(cur) == 0:
+            return _EMPTY
+        within = cur - p0 <= m - 1 + slop
+        if not within.any():
+            return _EMPTY
+        docs, ptf = np.unique(doc0[within], return_counts=True)
     t0 = terms[0]
     dl = decoded[t0][2][np.searchsorted(decoded[t0][0], docs)].astype(
         np.float64)
@@ -1842,7 +1888,7 @@ def _or_kernel_body(pdf: pd.DataFrame, terms: list[str],
 def _make_kernel(engine: str, terms: list[str], multiplicity: dict[str, int],
                  idf: dict[str, float], avgdl: float, threshold: int,
                  k: int | None, dfs: dict[str, int] | None = None,
-                 tokens: list[str] | None = None):
+                 tokens: list[str] | None = None, slop: int = 0):
     """Build the per-bucket applyInPandas kernel. All state is captured by
     value (broadcast with the task closure — a few floats per query term).
     ``tokens`` (ordered, duplicates kept) is required by engine="phrase"."""
@@ -1857,7 +1903,7 @@ def _make_kernel(engine: str, terms: list[str], multiplicity: dict[str, int],
             return _or_kernel_body(pdf, terms, idf, avgdl, k)
         if engine == "phrase":
             decoded = {t: _decode_term_segments_pos(pdf, t) for t in terms}
-            return _phrase_body(decoded, tokens, idf, avgdl, k)
+            return _phrase_body(decoded, tokens, idf, avgdl, k, slop=slop)
         decoded = {t: _decode_term_segments(pdf, t) for t in terms}
         return _decoded_body(decoded, engine, terms, multiplicity, idf,
                              avgdl, threshold, k)
