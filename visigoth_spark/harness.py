@@ -863,6 +863,60 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
 """
 
 
+SLOP_TERMS = ("table", "hash")  # slop=1 admits 71 docs vs 46 adjacent
+SLOP = 1
+
+
+def q_phrase_slop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDERED-PROXIMITY production path: the same positional index,
+    engine="phrase" with slop=1 — tokens in order within a window of
+    len(tokens)+slop analyzed tokens (greedy-earliest walk, exact for
+    total-window semantics). The oracle counts qualifying start positions
+    with a NESTED DuckDB list lambda."""
+    idx = _plain_pos_index(spark, sf_dir)
+    res = idx.search(" ".join(SLOP_TERMS), engine="phrase", k=10, slop=SLOP)
+    return res.select(
+        F.expr("cast(substring(url, 5, 12) as bigint)").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+        F.col("hits").cast("long").alias("ptf"),
+    )
+
+
+SQL_PHRASE_SLOP = f"""
+WITH {SQL_TOKLIST},
+stats AS (
+    SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+           (SELECT SUM(len(l)) FROM tl) * 1.0
+           / (SELECT COUNT(*) FROM documents) AS avgdl
+),
+dfs AS (
+    SELECT
+      (SELECT COUNT(*) FROM tl
+       WHERE list_contains(l, '{SLOP_TERMS[0]}')) AS df1,
+      (SELECT COUNT(*) FROM tl
+       WHERE list_contains(l, '{SLOP_TERMS[1]}')) AS df2
+),
+m AS (
+    SELECT doc_id, len(l) AS dl,
+           len(list_filter(range(1, len(l) + 1),
+               i -> l[i] = '{SLOP_TERMS[0]}'
+                    AND len(list_filter(
+                            range(i + 1,
+                                  least(i + 2 + {SLOP}, len(l) + 1)),
+                            j -> l[j] = '{SLOP_TERMS[1]}')) > 0)) AS ptf
+    FROM tl
+)
+SELECT doc_id,
+       ROUND((LN((n_docs - df1 + 0.5) / (df1 + 0.5) + 1.0)
+              + LN((n_docs - df2 + 0.5) / (df2 + 0.5) + 1.0))
+             * (ptf * (1.2 + 1.0))
+             / (ptf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 6) AS score,
+       CAST(ptf AS BIGINT) AS ptf
+FROM m, stats, dfs WHERE ptf > 0
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
 def q_bm25_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PREFIX production path: term-dictionary range seek expands the
     prefix to its vocabulary terms, then the union scores as OR-BM25 with
@@ -1577,6 +1631,7 @@ QUERIES = {
     "vg_bm25_batched": q_bm25_batched,
     "vg_bm25_or_topk": q_bm25_or_topk,
     "vg_phrase_search": q_phrase_search,
+    "vg_phrase_slop": q_phrase_slop,
     "vg_bm25_prefix": q_bm25_prefix,
     "vg_bm25_fuzzy": q_bm25_fuzzy,
     "vg_hits_duplicate_tokens": q_hits_duplicate_tokens,
@@ -1615,6 +1670,7 @@ ORACLES = {
     "vg_bm25_tie_boundary": _sql_bm25_tie_boundary(),
     "vg_bm25_or_topk": SQL_BM25_OR,
     "vg_phrase_search": SQL_PHRASE,
+    "vg_phrase_slop": SQL_PHRASE_SLOP,
     "vg_bm25_prefix": SQL_BM25_PREFIX,
     "vg_bm25_fuzzy": SQL_BM25_FUZZY,
     "vg_hits_duplicate_tokens": SQL_HITS_DUP,
