@@ -144,6 +144,12 @@ def cmd_query(argv: list[str]) -> int:
                    choices=["auto", "driver", "spark"],
                    help="query routing: auto = cost-based (small queries "
                         "driver-local, head queries distributed)")
+    p.add_argument("--slop", type=int, default=0,
+                   help="phrase proximity window: tokens in order within "
+                        "len(tokens)+slop analyzed tokens (phrase only)")
+    p.add_argument("--exclude", default=None,
+                   help="boolean NOT: drop documents containing any of "
+                        "these terms (analyzed with the same analyzer)")
     p.add_argument("query", nargs="+")
     a = p.parse_args(argv)
 
@@ -155,7 +161,8 @@ def cmd_query(argv: list[str]) -> int:
     idx = SearchIndex(spark, a.index, analyzer=analyzer)
     t0 = time.time()
     rows = idx.search(" ".join(a.query), a.engine, a.k,
-                      include_raw=idx.has_raw, route=a.route).collect()
+                      include_raw=idx.has_raw, route=a.route,
+                      slop=a.slop, exclude=a.exclude).collect()
     dt = time.time() - t0
     # wire shape ≙ the reference's result JSON {"doc": {"id":…, "raw":…},
     # "hits": n} (search_result_easyjson.go:127-142), extended with the

@@ -863,6 +863,53 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
 """
 
 
+NOT_TERMS = ("spark", "join")  # AND query ...
+NOT_EXCLUDE = "slow"           # ... minus docs containing this term
+
+
+def q_bm25_not(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean-NOT production path: AND-BM25 with ``exclude=`` — the
+    excluded term's postings ride the same pruned scan and its docid set
+    masks the candidates BEFORE scoring/k-capping (exact exclusion).
+    Oracle: the AND-BM25 SQL with a NOT IN subquery."""
+    idx = _plain_pos_index(spark, sf_dir)
+    res = idx.search(" ".join(NOT_TERMS), engine="bm25", k=10,
+                     exclude=NOT_EXCLUDE)
+    return res.select(
+        F.expr("cast(substring(url, 5, 12) as bigint)").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+SQL_BM25_NOT = f"""
+WITH {SQL_TOKENS},
+stats AS (
+    SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+           COUNT(*) * 1.0 / (SELECT COUNT(*) FROM documents) AS avgdl
+    FROM toks
+),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+tf AS (
+    SELECT doc_id, t, COUNT(*) AS tf FROM toks
+    WHERE t IN ('{NOT_TERMS[0]}', '{NOT_TERMS[1]}') GROUP BY doc_id, t
+),
+dfs AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t)
+SELECT doc_id, score FROM (
+    SELECT tf.doc_id,
+           ROUND(SUM(
+               LN((stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5) + 1.0)
+               * (tf.tf * (1.2 + 1.0))
+               / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+           ), 6) AS score,
+           COUNT(*) AS nt
+    FROM tf JOIN dfs USING (t) JOIN dl ON tf.doc_id = dl.doc_id, stats
+    GROUP BY tf.doc_id
+) WHERE nt = 2
+  AND doc_id NOT IN (SELECT doc_id FROM toks WHERE t = '{NOT_EXCLUDE}')
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
 SLOP_TERMS = ("table", "hash")  # slop=1 admits 71 docs vs 46 adjacent
 SLOP = 1
 
@@ -1632,6 +1679,7 @@ QUERIES = {
     "vg_bm25_or_topk": q_bm25_or_topk,
     "vg_phrase_search": q_phrase_search,
     "vg_phrase_slop": q_phrase_slop,
+    "vg_bm25_not": q_bm25_not,
     "vg_bm25_prefix": q_bm25_prefix,
     "vg_bm25_fuzzy": q_bm25_fuzzy,
     "vg_hits_duplicate_tokens": q_hits_duplicate_tokens,
@@ -1671,6 +1719,7 @@ ORACLES = {
     "vg_bm25_or_topk": SQL_BM25_OR,
     "vg_phrase_search": SQL_PHRASE,
     "vg_phrase_slop": SQL_PHRASE_SLOP,
+    "vg_bm25_not": SQL_BM25_NOT,
     "vg_bm25_prefix": SQL_BM25_PREFIX,
     "vg_bm25_fuzzy": SQL_BM25_FUZZY,
     "vg_hits_duplicate_tokens": SQL_HITS_DUP,

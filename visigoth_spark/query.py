@@ -891,7 +891,7 @@ class SearchIndex:
     # ---- engines ------------------------------------------------------------
     def search(self, query: str, engine: str = "bm25", k: int | None = 10,
                include_raw: bool = False, route: str = "auto",
-               slop: int = 0) -> DataFrame:
+               slop: int = 0, exclude: str | None = None) -> DataFrame:
         """Returns a DataFrame (url, docid, score, hits[, raw]) ordered by
         the engine's contract. Engines: bm25 (= block-max WAND) | bm25_wand
         (alias) | bm25_exhaustive (full-decode test oracle) | bm25_or |
@@ -906,6 +906,11 @@ class SearchIndex:
         ``slop`` (engine="phrase" only): 0 = exact adjacency; s > 0 allows
         the tokens to appear IN ORDER within a window of len(tokens)+s
         analyzed tokens (total-window ordered proximity).
+
+        ``exclude``: boolean NOT — text analyzed with the same analyzer;
+        documents containing ANY of its terms are excluded BEFORE scoring
+        and k-capping (exact exclusion, not a post-filter of a truncated
+        top-k). Supported by every matching engine (not the noops).
 
         ``route``: "auto" (default) serves small top-k queries driver-side
         — same pruned files, same kernels, no Spark job — and big ones
@@ -923,6 +928,8 @@ class SearchIndex:
                 raise ValueError("slop is only meaningful for engine='phrase'")
             if slop < 0:
                 raise ValueError("slop must be >= 0")
+        if exclude is not None and engine in ("noop_zero", "noop_all"):
+            raise ValueError("exclude is not supported by the noop engines")
         if include_raw and not self.has_raw:
             raise ValueError(
                 "include_raw requires an index built with store_raw=True"
@@ -965,7 +972,15 @@ class SearchIndex:
         terms = sorted(set(tokens))
         multiplicity = {t: tokens.count(t) for t in terms}
 
-        dfs = self.term_df(terms)
+        excl_terms: list[str] = []
+        if exclude is not None:
+            excl_terms = sorted(set(analyze_text(exclude, self.analyzer)))
+        dfs_all = self.term_df(terms + [t for t in excl_terms
+                                        if t not in terms])
+        dfs = {t: dfs_all[t] for t in terms}
+        # a NOT term absent from the index excludes nothing — drop it from
+        # the plan (no scan rows, no kernel decode)
+        excl_terms = [t for t in excl_terms if dfs_all[t] > 0]
         if (engine in ("linear", "phrase") or engine in _AND_BM25) and any(
             dfs[t] == 0 for t in terms
         ):
@@ -982,9 +997,15 @@ class SearchIndex:
 
         kernel = _make_kernel(engine, terms, multiplicity, idf, avgdl,
                               threshold=len(tokens), k=k, dfs=dfs,
-                              tokens=tokens, slop=slop)
+                              tokens=tokens, slop=slop,
+                              excl_terms=excl_terms)
+        # routing accounts for the NOT terms too: their postings decode on
+        # whichever side serves the query
+        route_dfs = dict(dfs)
+        for t in excl_terms:
+            route_dfs[t] = max(route_dfs.get(t, 0), dfs_all[t])
         top = None
-        if k is not None and self._route_driver(dfs, route):
+        if k is not None and self._route_driver(route_dfs, route):
             decoded = {}
             for t in terms:
                 d = (self._decoded_term_pos(t) if engine == "phrase"
@@ -993,10 +1014,23 @@ class SearchIndex:
                     decoded = None
                     break
                 decoded[t] = d
+            excl_arr = None
+            if decoded is not None and excl_terms:
+                parts = []
+                for t in excl_terms:
+                    d = self._decoded_term(t)
+                    if d is None:
+                        decoded = None
+                        break
+                    if len(d[0]):
+                        parts.append(d[0])
+                if decoded is not None and parts:
+                    excl_arr = (parts[0] if len(parts) == 1
+                                else np.unique(np.concatenate(parts)))
             if decoded is not None:
                 if engine == "phrase":
                     out = _phrase_body(decoded, tokens, idf, avgdl, k,
-                                       slop=slop)
+                                       slop=slop, excl=excl_arr)
                 else:
                     # with whole-term decoded arrays in hand, exhaustive
                     # exact scoring IS the fastest plan (WAND's partial
@@ -1006,11 +1040,12 @@ class SearchIndex:
                                    ("bm25", "bm25_wand") else engine)
                     out = _decoded_body(decoded, body_engine, terms,
                                         multiplicity, idf, avgdl,
-                                        threshold=len(tokens), k=k)
+                                        threshold=len(tokens), k=k,
+                                        excl=excl_arr)
                 top = _order_and_head(out, engine, k)
         if top is None:
             seg = self._seg_scan(
-                terms,
+                terms + excl_terms,
                 cols=(self._SEG_COLS + ["pos_blob"]
                       if engine == "phrase" else None),
             )
@@ -1532,8 +1567,8 @@ def _edit_distance_le(a: str, b: str, k: int) -> bool:
 
 
 def _phrase_body(decoded: dict, tokens: list[str], idf: dict[str, float],
-                 avgdl: float, k: int | None, slop: int = 0
-                 ) -> pd.DataFrame:
+                 avgdl: float, k: int | None, slop: int = 0,
+                 excl: np.ndarray | None = None) -> pd.DataFrame:
     """Exact phrase / ordered-proximity match + scoring over positional
     decoded arrays — shared by the per-bucket executor kernel and the
     driver hot path.
@@ -1556,7 +1591,7 @@ def _phrase_body(decoded: dict, tokens: list[str], idf: dict[str, float],
     lists = [decoded[t][0] for t in terms]
     if any(len(x) == 0 for x in lists):
         return _EMPTY
-    cand = _gallop_intersect(lists)
+    cand = _mask_excl(_gallop_intersect(lists), excl)
     if len(cand) == 0:
         return _EMPTY
     m = len(tokens)
@@ -1626,6 +1661,19 @@ def _phrase_body(decoded: dict, tokens: list[str], idf: dict[str, float],
     if k is not None and len(out) > k:
         out = _head_k_with_ties(out, "score", k)
     return out
+
+
+def _excl_keep_mask(ids: np.ndarray, excl: np.ndarray | None) -> np.ndarray:
+    """Boolean keep-mask for ``ids`` (sorted or not) against the SORTED
+    exclusion docid array — vectorized membership via searchsorted."""
+    if excl is None or len(excl) == 0 or len(ids) == 0:
+        return np.ones(len(ids), dtype=bool)
+    pos = np.minimum(np.searchsorted(excl, ids), len(excl) - 1)
+    return excl[pos] != ids
+
+
+def _mask_excl(ids: np.ndarray, excl: np.ndarray | None) -> np.ndarray:
+    return ids[_excl_keep_mask(ids, excl)]
 
 
 def _gallop_intersect(lists: list[np.ndarray]) -> np.ndarray:
@@ -1700,7 +1748,8 @@ def _decode_term_blocks_for(
 
 def _wand_kernel_body(pdf: pd.DataFrame, terms: list[str],
                       dfs: dict[str, int], idf: dict[str, float],
-                      avgdl: float, k: int | None) -> pd.DataFrame:
+                      avgdl: float, k: int | None,
+                      excl: np.ndarray | None = None) -> pd.DataFrame:
     """Block-max AND retrieval for one bucket:
 
     1. fully decode the RAREST term's segments -> initial candidates;
@@ -1719,7 +1768,13 @@ def _wand_kernel_body(pdf: pd.DataFrame, terms: list[str],
     ids0, tfs0, dls0 = _decode_term_segments(pdf, order[0])
     if len(ids0) == 0:
         return _EMPTY
-    cand = ids0
+    cand = _mask_excl(ids0, excl)
+    if len(cand) == 0:
+        return _EMPTY
+    if len(cand) != len(ids0):
+        # realign the rarest term's exact arrays to the masked candidates
+        keep = np.searchsorted(ids0, cand)
+        ids0, tfs0, dls0 = cand, tfs0[keep], dls0[keep]
     per_term: dict[str, tuple] = {order[0]: (ids0, tfs0, dls0, None, None)}
     for t in order[1:]:
         ids, tfs, dls, bmx, bmn = _decode_term_blocks_for(pdf, t, cand)
@@ -1790,8 +1845,8 @@ def _wand_kernel_body(pdf: pd.DataFrame, terms: list[str],
 
 
 def _or_kernel_body(pdf: pd.DataFrame, terms: list[str],
-                    idf: dict[str, float], avgdl: float, k: int | None
-                    ) -> pd.DataFrame:
+                    idf: dict[str, float], avgdl: float, k: int | None,
+                    excl: np.ndarray | None = None) -> pd.DataFrame:
     """Disjunctive (OR) block-max WAND for one bucket:
 
     1. per term, decode ONLY the docid streams (codec.decode_docids) and
@@ -1831,6 +1886,11 @@ def _or_kernel_body(pdf: pd.DataFrame, terms: list[str],
     uniq, inv = np.unique(np.concatenate(id_parts), return_inverse=True)
     ub = np.bincount(inv, weights=np.concatenate(ub_parts),
                      minlength=len(uniq))
+    if excl is not None:
+        keepm = _excl_keep_mask(uniq, excl)
+        uniq, ub = uniq[keepm], ub[keepm]
+        if len(uniq) == 0:
+            return _EMPTY
 
     def exact(sub: np.ndarray) -> np.ndarray:
         """Exact BM25 for a sorted docid subset; per term, decode only the
@@ -1888,33 +1948,47 @@ def _or_kernel_body(pdf: pd.DataFrame, terms: list[str],
 def _make_kernel(engine: str, terms: list[str], multiplicity: dict[str, int],
                  idf: dict[str, float], avgdl: float, threshold: int,
                  k: int | None, dfs: dict[str, int] | None = None,
-                 tokens: list[str] | None = None, slop: int = 0):
+                 tokens: list[str] | None = None, slop: int = 0,
+                 excl_terms: list[str] | None = None):
     """Build the per-bucket applyInPandas kernel. All state is captured by
     value (broadcast with the task closure — a few floats per query term).
-    ``tokens`` (ordered, duplicates kept) is required by engine="phrase"."""
+    ``tokens`` (ordered, duplicates kept) is required by engine="phrase".
+    ``excl_terms``: NOT terms — their postings ride the same pruned scan
+    and their bucket-local docid union is masked out of every engine's
+    candidate set BEFORE scoring and k-capping (exclusion is exact, never
+    a post-filter of a truncated top-k)."""
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        excl = None
+        if excl_terms:
+            parts = [p for p in (_decode_term_segments(pdf, t)[0]
+                                 for t in excl_terms) if len(p)]
+            if parts:
+                excl = (parts[0] if len(parts) == 1
+                        else np.unique(np.concatenate(parts)))
         if engine in ("bm25", "bm25_wand"):
             # the DEFAULT bm25 path: block-max WAND (skip-pointer decode of
             # non-rarest terms + upper-bound pruning); bit-identical to the
             # exhaustive kernel below (TestWandParity)
-            return _wand_kernel_body(pdf, terms, dfs or {}, idf, avgdl, k)
+            return _wand_kernel_body(pdf, terms, dfs or {}, idf, avgdl, k,
+                                     excl=excl)
         if engine == "bm25_or":
-            return _or_kernel_body(pdf, terms, idf, avgdl, k)
+            return _or_kernel_body(pdf, terms, idf, avgdl, k, excl=excl)
         if engine == "phrase":
             decoded = {t: _decode_term_segments_pos(pdf, t) for t in terms}
-            return _phrase_body(decoded, tokens, idf, avgdl, k, slop=slop)
+            return _phrase_body(decoded, tokens, idf, avgdl, k, slop=slop,
+                                excl=excl)
         decoded = {t: _decode_term_segments(pdf, t) for t in terms}
         return _decoded_body(decoded, engine, terms, multiplicity, idf,
-                             avgdl, threshold, k)
+                             avgdl, threshold, k, excl=excl)
 
     return kernel
 
 
 def _decoded_body(decoded: dict, engine: str, terms: list[str],
                   multiplicity: dict[str, int], idf: dict[str, float],
-                  avgdl: float, threshold: int, k: int | None
-                  ) -> pd.DataFrame:
+                  avgdl: float, threshold: int, k: int | None,
+                  excl: np.ndarray | None = None) -> pd.DataFrame:
     """Engine math over already-decoded per-term (ids, tfs, dls) arrays —
     shared verbatim by the per-bucket executor kernel and the driver-side
     hot-term-cache path, so both routes produce bit-identical float64
@@ -1936,7 +2010,7 @@ def _decoded_body(decoded: dict, engine: str, terms: list[str],
         )
         uniq, inv = np.unique(all_ids, return_inverse=True)
         hits = np.bincount(inv, weights=weights).astype(np.int64)
-        keep = hits >= threshold
+        keep = (hits >= threshold) & _excl_keep_mask(uniq, excl)
         out = pd.DataFrame(
             {"docid": uniq[keep], "score": hits[keep].astype(np.float64),
              "hits": hits[keep].astype(np.int32)}
@@ -1960,6 +2034,9 @@ def _decoded_body(decoded: dict, engine: str, terms: list[str],
         if not present:
             return _EMPTY
         uniq = np.unique(np.concatenate([decoded[t][0] for t in present]))
+        uniq = _mask_excl(uniq, excl)
+        if len(uniq) == 0:
+            return _EMPTY
         score = np.zeros(len(uniq), dtype=np.float64)
         hits = np.zeros(len(uniq), dtype=np.int64)
         for t in sorted(present):
@@ -1983,7 +2060,7 @@ def _decoded_body(decoded: dict, engine: str, terms: list[str],
     lists = [decoded[t][0] for t in terms]
     if any(len(x) == 0 for x in lists):
         return _EMPTY
-    cand = _gallop_intersect(lists)
+    cand = _mask_excl(_gallop_intersect(lists), excl)
     if len(cand) == 0:
         return _EMPTY
 
