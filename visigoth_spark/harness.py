@@ -1334,6 +1334,42 @@ GROUP BY d.source
 """
 
 
+DECON_N = 5
+DECON_MOD = 25  # benchmark stand-in: every 25th doc
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix-C style): flag corpus
+    docs sharing any analyzed 5-gram with the benchmark set (deterministic
+    stand-in: every 25th doc). Benchmark grams broadcast; one doc-keyed
+    count shuffle."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % DECON_MOD == 0)
+    return P.decontaminate(docs, bench, n=DECON_N)
+
+
+SQL_DECONTAMINATE = f"""
+WITH {SQL_TOKLIST},
+g AS (
+    SELECT DISTINCT doc_id,
+           array_to_string(l[i:i+{DECON_N - 1}], ' ') AS gram
+    FROM tl, LATERAL (
+        SELECT unnest(range(1, len(l) - {DECON_N - 2})) AS i
+    ) r
+    WHERE len(l) >= {DECON_N}
+),
+bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % {DECON_MOD} = 0),
+hits AS (
+    SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS shared
+    FROM g JOIN bg USING (gram) GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(shared, 0) AS shared_ngrams,
+       COALESCE(shared, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
+"""
+
+
 def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 bigram collocations by PMI (Church & Hanks) with a
     min-count floor — the phrase-mining pass of a training-data
@@ -1699,6 +1735,7 @@ QUERIES = {
     "domain_stats": q_domain_stats,
     "collocations": q_collocations,
     "unigram_nll": q_unigram_nll,
+    "decontaminate": q_decontaminate,
     "doc_fingerprint": q_doc_fingerprint,
     "doc_winnow": q_doc_winnow,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -1739,6 +1776,7 @@ ORACLES = {
     "domain_stats": SQL_DOMAIN_STATS,
     "collocations": SQL_COLLOCATIONS,
     "unigram_nll": SQL_UNIGRAM_NLL,
+    "decontaminate": SQL_DECONTAMINATE,
     "doc_fingerprint": SQL_FINGERPRINT,
     "doc_winnow": SQL_WINNOW,
     "ann_cosine_topk": SQL_ANN_COSINE,

@@ -810,6 +810,55 @@ def domain_stats(df: DataFrame, domain_col: str = "source",
     )
 
 
+def decontaminate(df: DataFrame, benchmark: DataFrame,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  n: int = 5) -> DataFrame:
+    """Benchmark decontamination — flag training documents that share any
+    analyzed-token n-gram with an evaluation/benchmark set (the GPT-3
+    appendix-C procedure, 13-gram there; ``n`` configurable). Returns one
+    row per corpus doc: (id, shared_ngrams = distinct overlapping n-grams,
+    contaminated = shared_ngrams > 0).
+
+    Plan shape (100 TB corpus x small benchmark): the benchmark side
+    reduces to its DISTINCT n-gram set — eval sets are tiny, so it gets a
+    broadcast hint and the corpus side never shuffles for the join; the
+    only wide exchange is the per-doc distinct-gram count, keyed by doc
+    id with map-side partial aggregation."""
+    grams = F.when(
+        F.size("tokens") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("tokens") - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice("tokens", i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    corpus_g = (
+        with_tokens(df, text_col)
+        .select(F.col(id_col), F.explode(grams).alias("gram"))
+        .distinct()
+    )
+    bench_g = (
+        with_tokens(benchmark, text_col)
+        .select(F.explode(grams).alias("gram"))
+        .distinct()
+    )
+    hits = (
+        corpus_g.join(F.broadcast(bench_g), "gram")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("shared_ngrams"))
+    )
+    return (
+        df.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("shared_ngrams"), F.lit(0)).cast("long")
+            .alias("shared_ngrams"),
+            (F.coalesce(F.col("shared_ngrams"), F.lit(0)) > 0)
+            .alias("contaminated"),
+        )
+    )
+
+
 def collocations(df: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text", min_count: int = 5,
                  k: int = 20) -> DataFrame:
