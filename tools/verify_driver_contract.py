@@ -26,7 +26,7 @@ TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
 HARNESS_CACHES = ("vg_stem_harness", "vg_compact_harness",
                   "vg_merge_harness", "vg_uri_harness",
-                  "vg_tie_harness", "vg_pos_harness")
+                  "vg_tie_harness", "vg_pos_harness", "vg_del_harness")
 
 
 def main() -> int:

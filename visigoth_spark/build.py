@@ -1370,6 +1370,72 @@ def gc_index(index_dir: str) -> list[int]:
     return victims
 
 
+TOMBSTONES_FILE = "tombstones.json"
+
+
+def load_tombstones(index_dir: str) -> list[int]:
+    """The index's tombstoned docids (sorted), [] when none."""
+    store = vstore.get_store(index_dir)
+    path = os.path.join(index_dir, "_manifests", TOMBSTONES_FILE)
+    if not store.exists(path):
+        return []
+    return sorted(int(d) for d in store.read_json(path).get("docids", []))
+
+
+@_locked("delete", dir_arg=1)
+def delete_docs(spark: SparkSession, index_dir: str,
+                urls=None, docids=None) -> int:
+    """LSM-style document deletion: record the docids as TOMBSTONES in
+    ``_manifests/tombstones.json`` (atomic rewrite under the writer lock).
+
+    Semantics (exactly Lucene's deleted-docs model):
+    - queries mask tombstoned docs BEFORE scoring and k-capping (exact —
+      a deleted doc can never appear in results, and survivors' ranks are
+      computed as if it simply lost the match);
+    - BM25 corpus statistics (df, n_docs, avgdl) keep counting deleted
+      docs until the next ``compact_index``, which purges them physically
+      (docmap rows dropped pre-remap, postings dropped by the remap join)
+      and clears the tombstone set;
+    - ``merge_appends`` is unaffected (file layout only — docids stable).
+    An update is delete + append (the reference's Put always appends a
+    NEW doc even for a repeated url — entities_doc.go:12-14 identity is
+    the url STRING; tombstoning the old docid gives replace semantics).
+
+    ``urls`` resolve against the VISIBLE docmap; unknown urls delete
+    nothing. Returns the number of newly tombstoned docids (idempotent:
+    re-deleting is 0). Scale note: the tombstone set ships to query
+    kernels with the task closure — keep it modest (<~1M) and compact to
+    reclaim; the upgrade path is a per-batch roaring-bitmap sidecar
+    behind this same file."""
+    if (urls is None) == (docids is None):
+        raise ValueError("pass exactly one of urls= or docids=")
+    store = vstore.get_store(index_dir, spark)
+    manifest_dir = os.path.join(index_dir, "_manifests")
+    if docids is None:
+        urls = list(urls)
+        if not urls:
+            return 0
+        vis = [m["batch"] for m in _visible_batches(index_dir)]
+        data_root = os.path.join(index_dir, "data")
+        data = spark.read.option("basePath", data_root).parquet(data_root)
+        rows = (
+            data.filter(F.col("kind") == "d")
+            .filter(F.col("batch").isin(vis))
+            .filter(F.col("url").isin(urls))
+            .select("docid").collect()
+        )
+        docids = [r["docid"] for r in rows]
+    path = os.path.join(manifest_dir, TOMBSTONES_FILE)
+    cur: set[int] = set()
+    if store.exists(path):
+        cur = set(store.read_json(path).get("docids", []))
+    new = {int(d) for d in docids} - cur
+    if new:
+        store.write_json_atomic(
+            path, {"docids": sorted(cur | new)})
+    return len(new)
+
+
 @_locked("compact", dir_arg=1)
 def compact_index(
     spark: SparkSession,
@@ -1462,6 +1528,18 @@ def compact_index(
                and "pos_blob" in data.columns)
     doc_cols = ["docid", "url", "doclen"] + (["raw"] if has_raw else [])
     docmap_old = data.filter(F.col("kind") == "d").select(*doc_cols)
+
+    # purge tombstoned docs: dropped from the docmap BEFORE the remap, so
+    # they get no new docid; their postings drop for free at the remap
+    # join below (inner on docid_old). Stats recompute from the re-encoded
+    # data, so n_docs/df/avgdl stop counting them — the Lucene merge
+    # semantics — and the tombstone set is NOT carried to the new
+    # generation (old docids would alias remapped ones).
+    tombs = load_tombstones(index_dir)
+    if tombs:
+        tdf = spark.createDataFrame([(int(t),) for t in tombs],
+                                    "docid long")
+        docmap_old = docmap_old.join(F.broadcast(tdf), "docid", "left_anti")
 
     P = num_partitions or spark.sparkContext.defaultParallelism * 2
     # secondary sort on old docid: a url ingested twice (the reference
@@ -1692,7 +1770,10 @@ def compact_index(
             # layout. ".tmp" also matches HadoopStore's ".tmp-<uuid>"
             # write_atomic debris a crash can leave — carrying it over
             # would immortalize it in every compacted index.
-            fname in ("termdict.json", "segfiles.json", "docfiles.json")
+            # tombstones: PURGED physically above — carrying the old
+            # docids over would mask freshly-remapped docs that reuse them.
+            fname in ("termdict.json", "segfiles.json", "docfiles.json",
+                      TOMBSTONES_FILE)
         ):
             continue
         stage_store.write_atomic(

@@ -117,6 +117,18 @@ class Catalog:
                          analyzer=self.analyzer, **append_kwargs)
         return targets
 
+    def delete(self, name: str, urls) -> int:
+        """Tombstone the given urls in every index behind ``name``
+        (build.delete_docs — LSM deletion: masked at query time, purged by
+        compact). Returns the total newly tombstoned count. An UPDATE is
+        ``delete`` + ``append`` (replace-by-url semantics)."""
+        from visigoth_spark.build import delete_docs
+
+        total = 0
+        for t in self._resolve(name):
+            total += delete_docs(self.spark, self._index_dir(t), urls=urls)
+        return total
+
     def merge(self, name: str,
               num_partitions: int | None = None,
               min_batches: int = 2) -> list[str]:

@@ -248,6 +248,21 @@ def cmd_gc(argv: list[str]) -> int:
     return 0
 
 
+def cmd_delete(argv: list[str]) -> int:
+    """Tombstone documents by url (build.delete_docs — LSM deletion:
+    masked at query time, physically purged by `compact`)."""
+    p = argparse.ArgumentParser(prog="cli delete")
+    p.add_argument("--index", required=True)
+    p.add_argument("urls", nargs="+")
+    a = p.parse_args(argv)
+    from visigoth_spark.build import delete_docs
+
+    spark = _session("visigoth-delete")
+    print(json.dumps(
+        {"tombstoned": delete_docs(spark, a.index, urls=a.urls)}))
+    return 0
+
+
 def cmd_explain(argv: list[str]) -> int:
     """Plan-level diagnostics for a query WITHOUT running it
     (SearchIndex.explain_query): route decision, per-term dfs,
@@ -284,7 +299,7 @@ def main() -> int:
     cmds = {"build": cmd_build, "query": cmd_query,
             "compact": cmd_compact, "merge": cmd_merge,
             "gc": cmd_gc, "inspect": cmd_inspect,
-            "explain": cmd_explain}
+            "explain": cmd_explain, "delete": cmd_delete}
     if len(sys.argv) < 2 or sys.argv[1] not in cmds:
         print(f"usage: cli.py {{{'|'.join(cmds)}}} ...", file=sys.stderr)
         return 2

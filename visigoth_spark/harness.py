@@ -863,6 +863,73 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
 """
 
 
+DEL_MOD = 7  # tombstone every 7th doc
+
+
+def q_bm25_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETION production path: a dedicated cached index (the shared
+    positional harness index must stay undeleted) with every 7th doc
+    TOMBSTONED via build.delete_docs; AND-BM25 must drop them while BM25
+    stats keep counting them until compaction (the Lucene deleted-docs
+    model). The oracle mirrors exactly that: scores from the FULL corpus
+    statistics, result set filtered."""
+    import hashlib
+    import os
+    import tempfile
+
+    from visigoth_spark.analysis import AnalyzerConfig
+    from visigoth_spark.build import (build_index, delete_docs,
+                                      load_stats)
+    from visigoth_spark.query import SearchIndex
+
+    analyzer = AnalyzerConfig(stopwords=frozenset(), stem=False)
+    key = hashlib.md5(("del-v1:" + sf_dir).encode()).hexdigest()[:10]
+    out = os.path.join(tempfile.gettempdir(), "vg_del_harness", key, "idx")
+    if not os.path.exists(os.path.join(out, "stats.json")):
+        docs = _docs(spark, sf_dir).select(
+            F.format_string("doc-%012d", F.col("doc_id")).alias("url"),
+            "text",
+        )
+        build_index(spark, docs, out, analyzer=analyzer, num_partitions=4)
+    n = load_stats(out)["n_docs"]
+    # idempotent: re-tombstoning the same set is a no-op
+    delete_docs(spark, out, docids=list(range(0, n, DEL_MOD)))
+    idx = SearchIndex(spark, out, analyzer=analyzer)
+    res = idx.search("spark join", engine="bm25", k=10)
+    return res.select(
+        F.expr("cast(substring(url, 5, 12) as bigint)").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+SQL_BM25_DELETED = f"""
+WITH {SQL_TOKENS},
+stats AS (
+    SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+           COUNT(*) * 1.0 / (SELECT COUNT(*) FROM documents) AS avgdl
+    FROM toks
+),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+tf AS (
+    SELECT doc_id, t, COUNT(*) AS tf FROM toks
+    WHERE t IN ('join', 'spark') GROUP BY doc_id, t
+),
+dfs AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t)
+SELECT doc_id, score FROM (
+    SELECT tf.doc_id,
+           ROUND(SUM(
+               LN((stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5) + 1.0)
+               * (tf.tf * (1.2 + 1.0))
+               / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+           ), 6) AS score,
+           COUNT(*) AS nt
+    FROM tf JOIN dfs USING (t) JOIN dl ON tf.doc_id = dl.doc_id, stats
+    GROUP BY tf.doc_id
+) WHERE nt = 2 AND doc_id % {DEL_MOD} <> 0
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
 NOT_TERMS = ("spark", "join")  # AND query ...
 NOT_EXCLUDE = "slow"           # ... minus docs containing this term
 
@@ -1716,6 +1783,7 @@ QUERIES = {
     "vg_phrase_search": q_phrase_search,
     "vg_phrase_slop": q_phrase_slop,
     "vg_bm25_not": q_bm25_not,
+    "vg_bm25_deleted": q_bm25_deleted,
     "vg_bm25_prefix": q_bm25_prefix,
     "vg_bm25_fuzzy": q_bm25_fuzzy,
     "vg_hits_duplicate_tokens": q_hits_duplicate_tokens,
@@ -1757,6 +1825,7 @@ ORACLES = {
     "vg_phrase_search": SQL_PHRASE,
     "vg_phrase_slop": SQL_PHRASE_SLOP,
     "vg_bm25_not": SQL_BM25_NOT,
+    "vg_bm25_deleted": SQL_BM25_DELETED,
     "vg_bm25_prefix": SQL_BM25_PREFIX,
     "vg_bm25_fuzzy": SQL_BM25_FUZZY,
     "vg_hits_duplicate_tokens": SQL_HITS_DUP,

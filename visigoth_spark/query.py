@@ -282,10 +282,15 @@ class SearchIndex:
         else:
             data = spark.read.option("basePath", data_root).parquet(data_root)
         # kind is a partition directory -> these filters prune whole files
-        self._postings = data.filter(F.col("kind") == "s").select(
-            "term", "bucket", "df_seg", "sum_tf", "min_docid", "max_docid",
-            "blob", "skips",
-        )
+        post_cols = ["term", "bucket", "df_seg", "sum_tf", "min_docid",
+                     "max_docid", "blob", "skips"]
+        if bool(self.stats.get("store_positions")) and (
+            "pos_blob" in data.columns
+        ):
+            # keep the positional stream reachable through the cached /
+            # manifest-less scan path too (phrase on .cache()d indexes)
+            post_cols.append("pos_blob")
+        self._postings = data.filter(F.col("kind") == "s").select(*post_cols)
         # Doc.Raw sidecar (search_result.go:6-9): present when the index
         # was built with store_raw/statement_col
         self.has_raw = bool(self.stats.get("store_raw")) and (
@@ -321,6 +326,16 @@ class SearchIndex:
                 self._store.read_json(df_path)["files"], self._batches)
         self._seg_prune = _RangePruner(self._segfiles, "term")
         self._doc_prune = _RangePruner(self._docfiles, "docid")
+        # LSM tombstones (build.delete_docs): sorted docid array masked out
+        # of every engine's candidates; purged + cleared by compact_index.
+        # Part of the snapshot — refresh() re-reads it.
+        self._tombstones = None
+        tb_path = os.path.join(index_dir, "_manifests", "tombstones.json")
+        if self._store.exists(tb_path):
+            ids = self._store.read_json(tb_path).get("docids", [])
+            if ids:
+                self._tombstones = np.asarray(sorted(int(d) for d in ids),
+                                              dtype=np.int64)
 
     def cache(self) -> "SearchIndex":
         """Pin the postings + docmap in executor memory (the warm-index
@@ -818,14 +833,14 @@ class SearchIndex:
         }
 
     def indexed(self, term: str) -> np.ndarray:
-        """Posting-list lookup (≙ MemoryIndex.Indexed) — decoded docids.
-        Routed like search: below the cost bounds the list comes from the
-        driver's hot-term cache (no job); above them, the distributed
-        scan."""
+        """Posting-list lookup (≙ MemoryIndex.Indexed) — decoded docids,
+        tombstoned docs masked. Routed like search: below the cost bounds
+        the list comes from the driver's hot-term cache (no job); above
+        them, the distributed scan."""
         if self._route_driver({term: self.term_df([term])[term]}, "auto"):
             d = self._decoded_term(term)
             if d is not None:
-                return d[0]
+                return _mask_excl(d[0], self._tombstones)
         seg = self._seg_scan([term])
         if seg is None:  # no segment file's term range covers it
             return np.zeros(0, dtype=np.int64)
@@ -834,7 +849,7 @@ class SearchIndex:
             return np.zeros(0, dtype=np.int64)
         parts = [decode_segment(bytes(r["blob"]))[0]
                  for r in sorted(rows, key=lambda r: r["min_docid"])]
-        return np.concatenate(parts)
+        return _mask_excl(np.concatenate(parts), self._tombstones)
 
     def documents(self, docids: list[int]) -> DataFrame:
         """docid -> url hydration (≙ MemoryIndex.Document)."""
@@ -945,7 +960,11 @@ class SearchIndex:
                     F.lit(0).alias("hits")]
             if include_raw:
                 cols.append("raw")
-            out = self._docmap.select(*cols).orderBy("docid")
+            src = self._docmap
+            if self._tombstones is not None:
+                src = src.filter(~F.col("docid").isin(
+                    [int(d) for d in self._tombstones]))
+            out = src.select(*cols).orderBy("docid")
             return out.limit(k) if k is not None else out
 
         tokens = analyze_text(query, self.analyzer)
@@ -998,7 +1017,8 @@ class SearchIndex:
         kernel = _make_kernel(engine, terms, multiplicity, idf, avgdl,
                               threshold=len(tokens), k=k, dfs=dfs,
                               tokens=tokens, slop=slop,
-                              excl_terms=excl_terms)
+                              excl_terms=excl_terms,
+                              excl_ids=self._tombstones)
         # routing accounts for the NOT terms too: their postings decode on
         # whichever side serves the query
         route_dfs = dict(dfs)
@@ -1014,7 +1034,7 @@ class SearchIndex:
                     decoded = None
                     break
                 decoded[t] = d
-            excl_arr = None
+            excl_arr = self._tombstones
             if decoded is not None and excl_terms:
                 parts = []
                 for t in excl_terms:
@@ -1025,8 +1045,10 @@ class SearchIndex:
                     if len(d[0]):
                         parts.append(d[0])
                 if decoded is not None and parts:
-                    excl_arr = (parts[0] if len(parts) == 1
-                                else np.unique(np.concatenate(parts)))
+                    tex = (parts[0] if len(parts) == 1
+                           else np.unique(np.concatenate(parts)))
+                    excl_arr = (tex if excl_arr is None
+                                else np.union1d(excl_arr, tex))
             if decoded is not None:
                 if engine == "phrase":
                     out = _phrase_body(decoded, tokens, idf, avgdl, k,
@@ -1224,6 +1246,7 @@ class SearchIndex:
                 engine, terms, mult, idf, avgdl,
                 threshold=len(p["tokens"]), k=k, dfs=dfs,
                 tokens=p["tokens"], slop=slop,
+                excl_ids=self._tombstones,
             )))
         if not kernels:
             return self._empty_batch_result(include_raw)
@@ -1285,6 +1308,7 @@ class SearchIndex:
                             out = _phrase_body(
                                 {t: decoded[t] for t in p["terms"]},
                                 p["tokens"], p["idf"], avgdl, k, slop=slop,
+                                excl=self._tombstones,
                             )
                         else:
                             out = _decoded_body(
@@ -1292,6 +1316,7 @@ class SearchIndex:
                                 body_engine, p["terms"], p["mult"],
                                 p["idf"], avgdl,
                                 threshold=len(p["tokens"]), k=k,
+                                excl=self._tombstones,
                             )
                         if len(out):
                             rows_out.extend(
@@ -1949,23 +1974,26 @@ def _make_kernel(engine: str, terms: list[str], multiplicity: dict[str, int],
                  idf: dict[str, float], avgdl: float, threshold: int,
                  k: int | None, dfs: dict[str, int] | None = None,
                  tokens: list[str] | None = None, slop: int = 0,
-                 excl_terms: list[str] | None = None):
+                 excl_terms: list[str] | None = None,
+                 excl_ids: np.ndarray | None = None):
     """Build the per-bucket applyInPandas kernel. All state is captured by
     value (broadcast with the task closure — a few floats per query term).
     ``tokens`` (ordered, duplicates kept) is required by engine="phrase".
     ``excl_terms``: NOT terms — their postings ride the same pruned scan
     and their bucket-local docid union is masked out of every engine's
     candidate set BEFORE scoring and k-capping (exclusion is exact, never
-    a post-filter of a truncated top-k)."""
+    a post-filter of a truncated top-k). ``excl_ids``: a SORTED docid
+    array masked the same way (tombstones — build.delete_docs)."""
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        excl = None
+        excl = excl_ids
         if excl_terms:
             parts = [p for p in (_decode_term_segments(pdf, t)[0]
                                  for t in excl_terms) if len(p)]
             if parts:
-                excl = (parts[0] if len(parts) == 1
-                        else np.unique(np.concatenate(parts)))
+                tex = (parts[0] if len(parts) == 1
+                       else np.unique(np.concatenate(parts)))
+                excl = tex if excl is None else np.union1d(excl, tex)
         if engine in ("bm25", "bm25_wand"):
             # the DEFAULT bm25 path: block-max WAND (skip-pointer decode of
             # non-rarest terms + upper-bound pruning); bit-identical to the
