@@ -516,3 +516,27 @@ def test_phrase_on_cached_index(spark, tmp_path):
     want = phrase_oracle(corpus, ("alpha", "beta"))
     got = _got(idx.search("alpha beta", engine="phrase", k=10))
     _assert_matches(got, want)
+
+
+def test_streamed_appends_inherit_positions(spark, tmp_path):
+    """A stream appending into a positional base index inherits
+    store_positions (epoch appends read the flag from stats), so phrase
+    queries cover streamed docs too."""
+    from visigoth_spark.build import build_index, load_stats
+    from visigoth_spark.streaming import foreach_batch_indexer
+
+    out = str(tmp_path / "sidx")
+    df = spark.createDataFrame(DOCS[:10], "url string, text string")
+    build_index(spark, df, out, analyzer=AN, num_partitions=2,
+                store_positions=True)
+    fn = foreach_batch_indexer(out, analyzer=AN, num_partitions=2)
+    fn(spark.createDataFrame(DOCS[10:13], "url string, text string"), 0)
+    fn(spark.createDataFrame(DOCS[13:], "url string, text string"), 1)
+    assert load_stats(out)["n_docs"] == len(DOCS)
+    idx = SearchIndex(spark, out, analyzer=AN)
+    corpus = _analyzed()
+    want = phrase_oracle(corpus, ("alpha", "beta"))
+    got = _got(idx.search("alpha beta", engine="phrase", k=10))
+    _assert_matches(got, want)
+    # "datum alpha beta datum" (u14) arrived via the stream: covered
+    assert "u14" in {g[0] for g in got}

@@ -485,6 +485,9 @@ class SearchIndex:
                     self._term_cache_bytes -= sum(a.nbytes for a in hit)
 
     _SEG_COLS = ["term", "bucket", "min_docid", "blob", "skips"]
+    # phrase scans: skips are unused (no WAND over phrase candidates
+    # yet) — dropping the column narrows the pruned read
+    _SEG_COLS_POS = ["term", "bucket", "min_docid", "blob", "pos_blob"]
 
     def _seg_scan(self, terms: list[str], cols: list[str] | None = None):
         """Pruned postings scan for these query terms. With a segfiles
@@ -644,7 +647,7 @@ class SearchIndex:
             self._term_cache.move_to_end(key)
             return hit
         pdf = self._driver_seg_rows(
-            [term], cols=self._SEG_COLS + ["pos_blob"])
+            [term], cols=self._SEG_COLS_POS)
         if pdf is None:
             return None
         decoded = _decode_term_segments_pos(pdf, term)
@@ -1068,7 +1071,7 @@ class SearchIndex:
         if top is None:
             seg = self._seg_scan(
                 terms + excl_terms,
-                cols=(self._SEG_COLS + ["pos_blob"]
+                cols=(self._SEG_COLS_POS
                       if engine == "phrase" else None),
             )
             if seg is None:  # no segment file can contain any query term
@@ -1333,7 +1336,7 @@ class SearchIndex:
                     )
                     seg = self._seg_scan(
                         heavy_terms,
-                        cols=(self._SEG_COLS + ["pos_blob"]
+                        cols=(self._SEG_COLS_POS
                               if engine == "phrase" else None),
                     )
                     if seg is not None:  # None -> provably no rows
@@ -1347,7 +1350,7 @@ class SearchIndex:
         if local is None:
             seg = self._seg_scan(
                 live_terms,
-                cols=(self._SEG_COLS + ["pos_blob"]
+                cols=(self._SEG_COLS_POS
                       if engine == "phrase" else None),
             )
             if seg is None:  # no segment file can contain any live term
