@@ -194,6 +194,35 @@ def analyze_text(text: str, cfg: AnalyzerConfig = DEFAULT_ANALYZER) -> list[str]
     return analyze_series(pd.Series([text]), cfg).iloc[0]
 
 
+def highlight_spans(raw: str, terms: set[str] | frozenset[str],
+                    cfg: AnalyzerConfig = DEFAULT_ANALYZER) -> list[dict]:
+    """Character spans of the tokens in ``raw`` whose ANALYZED form is in
+    ``terms`` — the snippet/highlight primitive. Spans are over the raw
+    string as stored (offsets never shift: tokens are located with the
+    keep-pattern on the ORIGINAL text, and only each matched token round-
+    trips through the analyzer for comparison). Stopworded tokens analyze
+    to nothing and never highlight; with a stemming analyzer a query for
+    'tables' highlights 'table' occurrences (shared stem). Returns
+    [{'term': analyzed, 'start': i, 'end': j}, ...] in document order.
+
+    Cost model: called ONLY on the hydrated top-k (<= k documents per
+    query) — pure driver-side regex + per-token memoized analysis, never
+    part of a distributed plan."""
+    if not raw or not terms:
+        return []
+    out: list[dict] = []
+    memo: dict[str, str | None] = {}
+    for m in cfg.token_re.finditer(raw):
+        tok = m.group(0)
+        if tok not in memo:
+            analyzed = analyze_text(tok, cfg)
+            memo[tok] = analyzed[0] if analyzed else None
+        a = memo[tok]
+        if a is not None and a in terms:
+            out.append({"term": a, "start": m.start(), "end": m.end()})
+    return out
+
+
 # ---------------------------------------------------------------------------
 # HTML -> text extraction (corpus ingestion; input_hint invariant:
 # byte-identical extracted text per url vs the oracle extractor).

@@ -150,6 +150,10 @@ def cmd_query(argv: list[str]) -> int:
     p.add_argument("--exclude", default=None,
                    help="boolean NOT: drop documents containing any of "
                         "these terms (analyzed with the same analyzer)")
+    p.add_argument("--highlight", action="store_true",
+                   help="add per-result match spans over the stored "
+                        "content (requires an index built with "
+                        "--store-raw)")
     p.add_argument("query", nargs="+")
     a = p.parse_args(argv)
 
@@ -162,7 +166,8 @@ def cmd_query(argv: list[str]) -> int:
     t0 = time.time()
     rows = idx.search(" ".join(a.query), a.engine, a.k,
                       include_raw=idx.has_raw, route=a.route,
-                      slop=a.slop, exclude=a.exclude).collect()
+                      slop=a.slop, exclude=a.exclude,
+                      highlight=a.highlight).collect()
     dt = time.time() - t0
     # wire shape ≙ the reference's result JSON {"doc": {"id":…, "raw":…},
     # "hits": n} (search_result_easyjson.go:127-142), extended with the
@@ -171,8 +176,10 @@ def cmd_query(argv: list[str]) -> int:
         doc = {"id": r["url"]}
         if idx.has_raw:
             doc["raw"] = r["raw"]
-        print(json.dumps({"doc": doc, "hits": r["hits"],
-                          "score": r["score"]}))
+        rec = {"doc": doc, "hits": r["hits"], "score": r["score"]}
+        if a.highlight:
+            rec["matches"] = json.loads(r["matches"])
+        print(json.dumps(rec))
     print(f"# {len(rows)} results in {dt:.3f}s", file=sys.stderr)
     return 0
 

@@ -27,6 +27,7 @@ oracle.
 
 from __future__ import annotations
 
+import json
 import math
 import os
 from typing import Iterator
@@ -36,7 +37,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from visigoth_spark.analysis import AnalyzerConfig, DEFAULT_ANALYZER, analyze_text
+from visigoth_spark.analysis import (AnalyzerConfig, DEFAULT_ANALYZER,
+                                     analyze_text, highlight_spans)
 from visigoth_spark.build import _visible_batches, load_stats
 from visigoth_spark import storage as vstore
 from visigoth_spark.codec import (
@@ -909,7 +911,8 @@ class SearchIndex:
     # ---- engines ------------------------------------------------------------
     def search(self, query: str, engine: str = "bm25", k: int | None = 10,
                include_raw: bool = False, route: str = "auto",
-               slop: int = 0, exclude: str | None = None) -> DataFrame:
+               slop: int = 0, exclude: str | None = None,
+               highlight: bool = False) -> DataFrame:
         """Returns a DataFrame (url, docid, score, hits[, raw]) ordered by
         the engine's contract. Engines: bm25 (= block-max WAND) | bm25_wand
         (alias) | bm25_exhaustive (full-decode test oracle) | bm25_or |
@@ -930,6 +933,13 @@ class SearchIndex:
         and k-capping (exact exclusion, not a post-filter of a truncated
         top-k). Supported by every matching engine (not the noops).
 
+        ``highlight`` (requires ``include_raw`` and a top-k query): adds a
+        ``matches`` column — a JSON array of {"term", "start", "end"} char
+        spans over ``raw`` for every token whose ANALYZED form matches an
+        effective query term (stems match stems; expansion engines
+        highlight their expansions). Computed driver-side on the hydrated
+        <=k rows only — never part of the distributed plan.
+
         ``route``: "auto" (default) serves small top-k queries driver-side
         — same pruned files, same kernels, no Spark job — and big ones
         distributed (_route_driver documents the cost model); "driver" /
@@ -948,6 +958,17 @@ class SearchIndex:
                 raise ValueError("slop must be >= 0")
         if exclude is not None and engine in ("noop_zero", "noop_all"):
             raise ValueError("exclude is not supported by the noop engines")
+        if highlight:
+            if not include_raw:
+                raise ValueError("highlight requires include_raw=True")
+            if engine in ("noop_zero", "noop_all"):
+                raise ValueError(
+                    "highlight is not supported by the noop engines")
+            if k is None:
+                raise ValueError(
+                    "highlight requires a top-k query (k is not None) — "
+                    "it runs driver-side on the hydrated rows"
+                )
         if include_raw and not self.has_raw:
             raise ValueError(
                 "include_raw requires an index built with store_raw=True"
@@ -955,9 +976,9 @@ class SearchIndex:
         if k is not None and k <= 0:
             # LIMIT 0 semantics; also keeps the kernels' k-boundary
             # arithmetic (argpartition/iloc[k-1]) out of degenerate range
-            return self._empty_result(include_raw)
+            return self._empty_result(include_raw, highlight)
         if engine == "noop_zero":
-            return self._empty_result(include_raw)
+            return self._empty_result(include_raw, highlight)
         if engine == "noop_all":
             cols = ["url", "docid", F.lit(0.0).alias("score"),
                     F.lit(0).alias("hits")]
@@ -972,7 +993,7 @@ class SearchIndex:
 
         tokens = analyze_text(query, self.analyzer)
         if not tokens:
-            return self._empty_result(include_raw)
+            return self._empty_result(include_raw, highlight)
         if engine in _EXPANSION:
             # expand each analyzed token against the term dictionary, then
             # score the union as OR-BM25 (each expansion with its own idf —
@@ -983,7 +1004,7 @@ class SearchIndex:
             for tok in dict.fromkeys(tokens):
                 expanded.update(expand(tok))
             if not expanded:
-                return self._empty_result(include_raw)
+                return self._empty_result(include_raw, highlight)
             tokens = sorted(expanded)
             engine = "bm25_or"
         if engine == "phrase" and not self.has_positions:
@@ -1006,9 +1027,9 @@ class SearchIndex:
         if (engine in ("linear", "phrase") or engine in _AND_BM25) and any(
             dfs[t] == 0 for t in terms
         ):
-            return self._empty_result(include_raw)  # AND with a missing term
+            return self._empty_result(include_raw, highlight)  # AND with a missing term
         if engine == "bm25_or" and all(dfs[t] == 0 for t in terms):
-            return self._empty_result(include_raw)  # OR, no matching term
+            return self._empty_result(include_raw, highlight)  # OR, no matching term
 
         n_docs = self.stats["n_docs"]
         avgdl = self.stats["avgdl"]
@@ -1075,7 +1096,7 @@ class SearchIndex:
                       if engine == "phrase" else None),
             )
             if seg is None:  # no segment file can contain any query term
-                return self._empty_result(include_raw)
+                return self._empty_result(include_raw, highlight)
             local = seg.groupBy("bucket").applyInPandas(
                 kernel, RESULT_KERNEL_SCHEMA)
             if engine == "hits":
@@ -1118,7 +1139,7 @@ class SearchIndex:
             fetch = k if engine == "linear" else 2 * k
             top = ordered.limit(fetch).collect()
         if not top:
-            return self._empty_result(include_raw)
+            return self._empty_result(include_raw, highlight)
         ids = [int(r["docid"]) for r in top]
         doc_of = self._docmap_for(ids, with_raw=include_raw)
         # Ordering contract: the reference breaks exact-score ties on
@@ -1151,6 +1172,15 @@ class SearchIndex:
         if k is not None and len(out_pd) > k:
             # drop the boundary-tie over-fetch now that urls decided it
             out_pd = out_pd.head(k)
+        if highlight:
+            hl_terms = frozenset(terms)
+            out_pd = out_pd.copy()
+            out_pd["matches"] = [
+                json.dumps(highlight_spans(r or "", hl_terms,
+                                           self.analyzer))
+                for r in out_pd["raw"]
+            ]
+            schema += ", matches string"
         return self.spark.createDataFrame(out_pd, schema)
 
     def search_iter(self, query: str, engine: str = "bm25",
@@ -1418,10 +1448,13 @@ class SearchIndex:
             schema += ", raw string"
         return self.spark.createDataFrame([], schema)
 
-    def _empty_result(self, include_raw: bool = False) -> DataFrame:
+    def _empty_result(self, include_raw: bool = False,
+                      highlight: bool = False) -> DataFrame:
         schema = "url string, docid long, score double, hits int"
         if include_raw:
             schema += ", raw string"
+        if highlight:
+            schema += ", matches string"
         return self.spark.createDataFrame([], schema)
 
 
