@@ -176,3 +176,23 @@ def test_catalog_delete_fanout(spark, tmp_path):
     assert cat.delete("live", ["u02", "u05"]) == 2
     rows = cat.search("live", "alpha beta", k=10).collect()
     assert not ({r["url"] for r in rows} & {"u02", "u05"})
+
+
+def test_large_tombstone_set_ships_as_broadcast(spark, didx, monkeypatch):
+    """Above the size threshold the tombstone set rides a Spark broadcast
+    (once per executor) instead of every task closure — results identical
+    on both routes."""
+    from visigoth_spark.build import delete_docs
+
+    delete_docs(spark, didx, urls=sorted(OLD))
+    monkeypatch.setattr(SearchIndex, "_TOMB_BROADCAST_MIN", 0)
+    idx = SearchIndex(spark, didx, analyzer=AN)
+    a = _got(idx.search("alpha beta", k=10, route="spark"))
+    assert idx._tomb_bv is not None  # broadcast path taken
+    b = _got(idx.search("alpha beta", k=10, route="driver"))
+    assert a == b and not ({g[0] for g in a} & OLD)
+    # refresh releases and lazily recreates the broadcast
+    idx.refresh()
+    assert idx._tomb_bv is None
+    c = _got(idx.search("alpha beta", k=10, route="spark"))
+    assert c == a

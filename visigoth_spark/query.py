@@ -331,6 +331,9 @@ class SearchIndex:
         # LSM tombstones (build.delete_docs): sorted docid array masked out
         # of every engine's candidates; purged + cleared by compact_index.
         # Part of the snapshot — refresh() re-reads it.
+        if getattr(self, "_tomb_bv", None) is not None:
+            self._tomb_bv.unpersist(blocking=False)
+        self._tomb_bv = None
         self._tombstones = None
         tb_path = os.path.join(index_dir, "_manifests", "tombstones.json")
         if self._store.exists(tb_path):
@@ -338,6 +341,23 @@ class SearchIndex:
             if ids:
                 self._tombstones = np.asarray(sorted(int(d) for d in ids),
                                               dtype=np.int64)
+
+    # above this size, ship the tombstone set to executors ONCE (Spark
+    # broadcast) instead of with every task's kernel closure
+    _TOMB_BROADCAST_MIN = 65536
+
+    def _tombstone_ref(self):
+        """What distributed kernels capture: the ndarray for small sets, a
+        Spark broadcast (per-executor shipping) for big ones. Driver-route
+        bodies always use the plain array."""
+        if self._tombstones is None:
+            return None
+        if len(self._tombstones) <= self._TOMB_BROADCAST_MIN:
+            return self._tombstones
+        if self._tomb_bv is None:
+            self._tomb_bv = self.spark.sparkContext.broadcast(
+                self._tombstones)
+        return self._tomb_bv
 
     def cache(self) -> "SearchIndex":
         """Pin the postings + docmap in executor memory (the warm-index
@@ -1042,7 +1062,7 @@ class SearchIndex:
                               threshold=len(tokens), k=k, dfs=dfs,
                               tokens=tokens, slop=slop,
                               excl_terms=excl_terms,
-                              excl_ids=self._tombstones)
+                              excl_ids=self._tombstone_ref())
         # routing accounts for the NOT terms too: their postings decode on
         # whichever side serves the query
         route_dfs = dict(dfs)
@@ -1279,7 +1299,7 @@ class SearchIndex:
                 engine, terms, mult, idf, avgdl,
                 threshold=len(p["tokens"]), k=k, dfs=dfs,
                 tokens=p["tokens"], slop=slop,
-                excl_ids=self._tombstones,
+                excl_ids=self._tombstone_ref(),
             )))
         if not kernels:
             return self._empty_batch_result(include_raw)
@@ -2022,7 +2042,8 @@ def _make_kernel(engine: str, terms: list[str], multiplicity: dict[str, int],
     array masked the same way (tombstones — build.delete_docs)."""
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        excl = excl_ids
+        # excl_ids is an ndarray or a Spark Broadcast of one
+        excl = getattr(excl_ids, "value", excl_ids)
         if excl_terms:
             parts = [p for p in (_decode_term_segments(pdf, t)[0]
                                  for t in excl_terms) if len(p)]
