@@ -1,0 +1,110 @@
+"""Cursor pagination (search_after): ``after=(score, docid)`` from the
+previous page's last row; kernels mask (score < s*) OR (score == s* AND
+docid > d*) BEFORE k-capping, so deep pages never re-materialize earlier
+ones. Exact on batch/compacted indexes (docid order == url order); the
+appended-index tie caveat is the same one the k-boundary docs carry."""
+
+from __future__ import annotations
+
+import pytest
+
+from visigoth_spark.analysis import AnalyzerConfig
+from visigoth_spark.query import SearchIndex
+
+AN = AnalyzerConfig(stopwords=frozenset(), stem=False)
+
+# enough matching docs for several pages, with deliberate score ties
+DOCS = [(f"u{i:02d}",
+         ("alpha beta " * ((i % 3) + 1) + "filler" + str(i)).strip())
+        for i in range(24)]
+
+
+@pytest.fixture(scope="module")
+def pidx(spark, tmp_path_factory):
+    from visigoth_spark.build import build_index
+
+    out = str(tmp_path_factory.mktemp("pageidx") / "idx")
+    build_index(spark, spark.createDataFrame(
+        DOCS, "url string, text string"), out, analyzer=AN,
+        num_partitions=2, store_positions=True)
+    return SearchIndex(spark, out, analyzer=AN)
+
+
+def _rows(res):
+    return [(r["url"], r["docid"], r["score"], r["hits"])
+            for r in res.collect()]
+
+
+def _paged(idx, query, engine, page, total, **kw):
+    out, after = [], None
+    while len(out) < total:
+        rows = _rows(idx.search(query, engine=engine, k=page, after=after,
+                                **kw))
+        if not rows:
+            break
+        out.extend(rows)
+        after = (rows[-1][2], rows[-1][1])  # (score, docid)
+    return out
+
+
+@pytest.mark.parametrize("engine", ["bm25", "bm25_or", "hits", "phrase"])
+def test_paging_reconstructs_full_ordering(pidx, engine):
+    full = _rows(pidx.search("alpha beta", engine=engine, k=24))
+    for page in (3, 5, 7):
+        paged = _paged(pidx, "alpha beta", engine, page, len(full))
+        assert paged == full, (engine, page)
+
+
+@pytest.mark.parametrize("route", ["driver", "spark"])
+def test_paging_routes_identical(pidx, route):
+    full = _rows(pidx.search("alpha beta", engine="bm25", k=24,
+                             route=route))
+    p1 = _rows(pidx.search("alpha beta", engine="bm25", k=6, route=route))
+    p2 = _rows(pidx.search("alpha beta", engine="bm25", k=6, route=route,
+                           after=(p1[-1][2], p1[-1][1])))
+    assert p1 + p2 == full[:12]
+
+
+def test_paging_linear_by_docid(pidx):
+    full = _rows(pidx.search("alpha beta", engine="linear", k=24))
+    p1 = _rows(pidx.search("alpha beta", engine="linear", k=10))
+    p2 = _rows(pidx.search("alpha beta", engine="linear", k=10,
+                           after=(0.0, p1[-1][1])))
+    assert p1 + p2 == full[:20]
+
+
+def test_paging_no_dup_no_gap_with_ties(pidx):
+    # hits metric is integer -> massive tie classes across pages
+    full = _rows(pidx.search("alpha beta", engine="hits", k=24))
+    paged = _paged(pidx, "alpha beta", "hits", 4, 24)
+    assert paged == full
+    assert len({u for u, *_ in paged}) == len(paged)  # no dups
+
+
+def test_paging_composes_with_exclude(pidx):
+    full = _rows(pidx.search("alpha beta", engine="bm25", k=24,
+                             exclude="filler3"))
+    paged = []
+    after = None
+    while True:
+        rows = _rows(pidx.search("alpha beta", engine="bm25", k=5,
+                                 after=after, exclude="filler3"))
+        if not rows:
+            break
+        paged.extend(rows)
+        after = (rows[-1][2], rows[-1][1])
+    assert paged == full
+
+
+def test_paging_past_the_end_is_empty(pidx):
+    full = _rows(pidx.search("alpha beta", engine="bm25", k=24))
+    last = full[-1]
+    assert _rows(pidx.search("alpha beta", engine="bm25", k=5,
+                             after=(last[2], last[1]))) == []
+
+
+def test_after_validation(pidx):
+    with pytest.raises(ValueError, match="after"):
+        pidx.search("alpha", k=None, after=(1.0, 0))
+    with pytest.raises(ValueError, match="after"):
+        pidx.search("alpha", engine="noop_all", after=(1.0, 0))
