@@ -932,7 +932,8 @@ class SearchIndex:
     def search(self, query: str, engine: str = "bm25", k: int | None = 10,
                include_raw: bool = False, route: str = "auto",
                slop: int = 0, exclude: str | None = None,
-               highlight: bool = False) -> DataFrame:
+               highlight: bool = False,
+               after: tuple | None = None) -> DataFrame:
         """Returns a DataFrame (url, docid, score, hits[, raw]) ordered by
         the engine's contract. Engines: bm25 (= block-max WAND) | bm25_wand
         (alias) | bm25_exhaustive (full-decode test oracle) | bm25_or |
@@ -952,6 +953,16 @@ class SearchIndex:
         documents containing ANY of its terms are excluded BEFORE scoring
         and k-capping (exact exclusion, not a post-filter of a truncated
         top-k). Supported by every matching engine (not the noops).
+
+        ``after``: cursor pagination — ``(metric, docid)`` taken from the
+        LAST row of the previous page (metric = score, or hits for the
+        hits engine, ignored for linear). Returns the next k results
+        strictly after that (metric DESC, docid ASC) position; kernels
+        mask before k-capping, so deep pages never re-materialize earlier
+        ones. Exact on batch/compacted indexes (docid order == url
+        order); appended indexes carry the same boundary-tie caveat as
+        the k-set docs. bm25 pages score exhaustively (block-max pruning
+        keeps exactly the rows a page wants to skip).
 
         ``highlight`` (requires ``include_raw`` and a top-k query): adds a
         ``matches`` column — a JSON array of {"term", "start", "end"} char
@@ -978,6 +989,16 @@ class SearchIndex:
                 raise ValueError("slop must be >= 0")
         if exclude is not None and engine in ("noop_zero", "noop_all"):
             raise ValueError("exclude is not supported by the noop engines")
+        if after is not None:
+            if engine in ("noop_zero", "noop_all"):
+                raise ValueError(
+                    "after is not supported by the noop engines")
+            if k is None:
+                raise ValueError("after (pagination) requires a top-k "
+                                 "query (k is not None)")
+            if len(after) != 2:
+                raise ValueError("after must be (metric, docid) from the "
+                                 "previous page's last row")
         if highlight:
             if not include_raw:
                 raise ValueError("highlight requires include_raw=True")
@@ -1062,7 +1083,7 @@ class SearchIndex:
                               threshold=len(tokens), k=k, dfs=dfs,
                               tokens=tokens, slop=slop,
                               excl_terms=excl_terms,
-                              excl_ids=self._tombstone_ref())
+                              excl_ids=self._tombstone_ref(), after=after)
         # routing accounts for the NOT terms too: their postings decode on
         # whichever side serves the query
         route_dfs = dict(dfs)
@@ -1096,7 +1117,8 @@ class SearchIndex:
             if decoded is not None:
                 if engine == "phrase":
                     out = _phrase_body(decoded, tokens, idf, avgdl, k,
-                                       slop=slop, excl=excl_arr)
+                                       slop=slop, excl=excl_arr,
+                                       after=after)
                 else:
                     # with whole-term decoded arrays in hand, exhaustive
                     # exact scoring IS the fastest plan (WAND's partial
@@ -1107,7 +1129,7 @@ class SearchIndex:
                     out = _decoded_body(decoded, body_engine, terms,
                                         multiplicity, idf, avgdl,
                                         threshold=len(tokens), k=k,
-                                        excl=excl_arr)
+                                        excl=excl_arr, after=after)
                 top = _order_and_head(out, engine, k)
         if top is None:
             seg = self._seg_scan(
@@ -1649,7 +1671,8 @@ def _edit_distance_le(a: str, b: str, k: int) -> bool:
 
 def _phrase_body(decoded: dict, tokens: list[str], idf: dict[str, float],
                  avgdl: float, k: int | None, slop: int = 0,
-                 excl: np.ndarray | None = None) -> pd.DataFrame:
+                 excl: np.ndarray | None = None,
+                 after: tuple | None = None) -> pd.DataFrame:
     """Exact phrase / ordered-proximity match + scoring over positional
     decoded arrays — shared by the per-bucket executor kernel and the
     driver hot path.
@@ -1736,12 +1759,27 @@ def _phrase_body(decoded: dict, tokens: list[str], idf: dict[str, float],
     score = coeff * (ptf_f * (BM25_K1 + 1.0)) / (
         ptf_f + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl)
     )
+    if after is not None:
+        keepm = _after_keep(score, docs, after)
+        docs, score, ptf = docs[keepm], score[keepm], ptf[keepm]
     out = pd.DataFrame(
         {"docid": docs, "score": score, "hits": ptf.astype(np.int32)}
     )
     if k is not None and len(out) > k:
         out = _head_k_with_ties(out, "score", k)
     return out
+
+
+def _after_keep(metric: np.ndarray, docids: np.ndarray,
+                after: tuple | None) -> np.ndarray:
+    """Cursor-pagination keep-mask: strictly after (metric DESC, docid ASC)
+    position ``after = (metric, docid)`` — rows with a smaller metric, or
+    the same metric and a larger docid."""
+    if after is None:
+        return np.ones(len(metric), dtype=bool)
+    s, d = float(after[0]), int(after[1])
+    m = metric.astype(np.float64, copy=False)
+    return (m < s) | ((m == s) & (docids > d))
 
 
 def _excl_keep_mask(ids: np.ndarray, excl: np.ndarray | None) -> np.ndarray:
@@ -1927,7 +1965,8 @@ def _wand_kernel_body(pdf: pd.DataFrame, terms: list[str],
 
 def _or_kernel_body(pdf: pd.DataFrame, terms: list[str],
                     idf: dict[str, float], avgdl: float, k: int | None,
-                    excl: np.ndarray | None = None) -> pd.DataFrame:
+                    excl: np.ndarray | None = None,
+                    after: tuple | None = None) -> pd.DataFrame:
     """Disjunctive (OR) block-max WAND for one bucket:
 
     1. per term, decode ONLY the docid streams (codec.decode_docids) and
@@ -1997,6 +2036,17 @@ def _or_kernel_body(pdf: pd.DataFrame, terms: list[str],
                          len(ids_per[t]) - 1)
         hits += (ids_per[t][pos] == uniq).astype(np.int64)
 
+    if after is not None:
+        # paging: the objective is top-k among rows BELOW the cursor —
+        # block-max seeding would prune exactly the rows we want, so score
+        # everything exactly (paging queries pay the exhaustive pass)
+        score_all = exact(uniq)
+        keepm = _after_keep(score_all, uniq, after)
+        out = pd.DataFrame({"docid": uniq[keepm], "score": score_all[keepm],
+                            "hits": hits[keepm].astype(np.int32)})
+        if k is not None and len(out) > k:
+            out = _head_k_with_ties(out, "score", k)
+        return out
     if k is None or len(uniq) <= k:
         keep = np.arange(len(uniq))
         score = exact(uniq)
@@ -2031,7 +2081,8 @@ def _make_kernel(engine: str, terms: list[str], multiplicity: dict[str, int],
                  k: int | None, dfs: dict[str, int] | None = None,
                  tokens: list[str] | None = None, slop: int = 0,
                  excl_terms: list[str] | None = None,
-                 excl_ids: np.ndarray | None = None):
+                 excl_ids: np.ndarray | None = None,
+                 after: tuple | None = None):
     """Build the per-bucket applyInPandas kernel. All state is captured by
     value (broadcast with the task closure — a few floats per query term).
     ``tokens`` (ordered, duplicates kept) is required by engine="phrase".
@@ -2052,20 +2103,28 @@ def _make_kernel(engine: str, terms: list[str], multiplicity: dict[str, int],
                        else np.unique(np.concatenate(parts)))
                 excl = tex if excl is None else np.union1d(excl, tex)
         if engine in ("bm25", "bm25_wand"):
+            if after is not None:
+                # paging wants top-k BELOW the cursor — the inverse of what
+                # block-max pruning keeps; page queries score exhaustively
+                decoded = {t: _decode_term_segments(pdf, t) for t in terms}
+                return _decoded_body(decoded, "bm25_exhaustive", terms,
+                                     multiplicity, idf, avgdl, threshold,
+                                     k, excl=excl, after=after)
             # the DEFAULT bm25 path: block-max WAND (skip-pointer decode of
             # non-rarest terms + upper-bound pruning); bit-identical to the
             # exhaustive kernel below (TestWandParity)
             return _wand_kernel_body(pdf, terms, dfs or {}, idf, avgdl, k,
                                      excl=excl)
         if engine == "bm25_or":
-            return _or_kernel_body(pdf, terms, idf, avgdl, k, excl=excl)
+            return _or_kernel_body(pdf, terms, idf, avgdl, k, excl=excl,
+                                   after=after)
         if engine == "phrase":
             decoded = {t: _decode_term_segments_pos(pdf, t) for t in terms}
             return _phrase_body(decoded, tokens, idf, avgdl, k, slop=slop,
-                                excl=excl)
+                                excl=excl, after=after)
         decoded = {t: _decode_term_segments(pdf, t) for t in terms}
         return _decoded_body(decoded, engine, terms, multiplicity, idf,
-                             avgdl, threshold, k, excl=excl)
+                             avgdl, threshold, k, excl=excl, after=after)
 
     return kernel
 
@@ -2073,7 +2132,8 @@ def _make_kernel(engine: str, terms: list[str], multiplicity: dict[str, int],
 def _decoded_body(decoded: dict, engine: str, terms: list[str],
                   multiplicity: dict[str, int], idf: dict[str, float],
                   avgdl: float, threshold: int, k: int | None,
-                  excl: np.ndarray | None = None) -> pd.DataFrame:
+                  excl: np.ndarray | None = None,
+                  after: tuple | None = None) -> pd.DataFrame:
     """Engine math over already-decoded per-term (ids, tfs, dls) arrays —
     shared verbatim by the per-bucket executor kernel and the driver-side
     hot-term-cache path, so both routes produce bit-identical float64
@@ -2096,6 +2156,8 @@ def _decoded_body(decoded: dict, engine: str, terms: list[str],
         uniq, inv = np.unique(all_ids, return_inverse=True)
         hits = np.bincount(inv, weights=weights).astype(np.int64)
         keep = (hits >= threshold) & _excl_keep_mask(uniq, excl)
+        if after is not None:
+            keep &= _after_keep(hits, uniq, after)
         out = pd.DataFrame(
             {"docid": uniq[keep], "score": hits[keep].astype(np.float64),
              "hits": hits[keep].astype(np.int32)}
@@ -2134,6 +2196,9 @@ def _decoded_body(decoded: dict, engine: str, terms: list[str],
                 tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl)
             )
             hits[m] += 1
+        if after is not None:
+            keepm = _after_keep(score, uniq, after)
+            uniq, score, hits = uniq[keepm], score[keepm], hits[keepm]
         out = pd.DataFrame(
             {"docid": uniq, "score": score, "hits": hits.astype(np.int32)}
         )
@@ -2150,6 +2215,8 @@ def _decoded_body(decoded: dict, engine: str, terms: list[str],
         return _EMPTY
 
     if engine == "linear":
+        if after is not None:
+            cand = cand[cand > int(after[1])]
         if k is not None and len(cand) > k:
             # per-bucket cap: linear's order is docid ASC, and cand is
             # already docid-sorted — the first k ARE the bucket's top-k
@@ -2172,6 +2239,9 @@ def _decoded_body(decoded: dict, engine: str, terms: list[str],
         score += idf[t] * (tf * (BM25_K1 + 1.0)) / (
             tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl)
         )
+    if after is not None:
+        keepm = _after_keep(score, cand, after)
+        cand, score = cand[keepm], score[keepm]
     out = pd.DataFrame(
         {"docid": cand, "score": score,
          "hits": np.full(len(cand), len(terms), dtype=np.int32)}
