@@ -196,3 +196,24 @@ def test_large_tombstone_set_ships_as_broadcast(spark, didx, monkeypatch):
     assert idx._tomb_bv is None
     c = _got(idx.search("alpha beta", k=10, route="spark"))
     assert c == a
+
+
+def test_update_docs_replace_by_url(spark, didx):
+    """update_docs = tombstone-existing + append in one locked call: the
+    url's OLD version disappears, the new one is searchable, other docs
+    untouched."""
+    from visigoth_spark.build import update_docs
+
+    new = spark.createDataFrame(
+        [("u02", "omega fresh content"), ("u99", "omega brand new")],
+        "url string, text string")
+    n_replaced = update_docs(spark, didx, new, analyzer=AN,
+                             num_partitions=1)
+    assert n_replaced == 1  # u02 existed, u99 is new
+    idx = SearchIndex(spark, didx, analyzer=AN)
+    got = {g[0] for g in _got(idx.search("omega", k=10))}
+    assert got == {"u02", "u99"}
+    # the OLD u02 content is gone
+    assert "u02" not in {g[0] for g in _got(idx.search("old", k=10))}
+    # untouched docs still match
+    assert "u01" in {g[0] for g in _got(idx.search("alpha beta", k=10))}

@@ -1436,6 +1436,28 @@ def delete_docs(spark: SparkSession, index_dir: str,
     return len(new)
 
 
+def update_docs(spark: SparkSession, index_dir: str, corpus: DataFrame,
+                analyzer: AnalyzerConfig = DEFAULT_ANALYZER,
+                num_partitions: int | None = None,
+                **append_kwargs) -> int:
+    """Replace-by-url: tombstone the index's CURRENT docs for ``corpus``'s
+    urls (``delete_docs``), then append ``corpus`` as new docs
+    (``append_index``) — the engine-level update primitive. Returns how
+    many urls existed before (were replaced); the rest are plain inserts.
+
+    Two sequential writer-locked ops, not one transaction: a crash between
+    them leaves the urls tombstoned but not yet re-added — retrying the
+    SAME update converges only if the append hadn't committed (use the
+    streaming path's pinned-epoch idempotence for exactly-once pipelines).
+    The url list is collected to the driver (update batches are small by
+    nature; bulk rewrites should use build/compact)."""
+    urls = [r["url"] for r in corpus.select("url").distinct().collect()]
+    replaced = delete_docs(spark, index_dir, urls=urls)
+    append_index(spark, corpus, index_dir, analyzer=analyzer,
+                 num_partitions=num_partitions, **append_kwargs)
+    return replaced
+
+
 @_locked("compact", dir_arg=1)
 def compact_index(
     spark: SparkSession,

@@ -881,7 +881,8 @@ class SearchIndex:
         return self._docmap.filter(F.col("docid").isin([int(d) for d in docids]))
 
     def explain_query(self, query: str, engine: str = "bm25",
-                      k: int | None = 10) -> dict:
+                      k: int | None = 10,
+                      exclude: str | None = None) -> dict:
         """Plan-level diagnostics WITHOUT running the query — what the
         planner would do: analyzed terms, per-term dfs, the route the
         cost model picks (driver hot-path vs distributed), the
@@ -906,7 +907,13 @@ class SearchIndex:
             and any(dfs[t] == 0 for t in terms)
             or eff == "bm25_or" and all(dfs[t] == 0 for t in terms)
         )
-        pruned = self._seg_prune.prune(terms) if terms else None
+        excl_terms: list[str] = []
+        if exclude is not None:
+            cand = sorted(set(analyze_text(exclude, self.analyzer)))
+            excl_dfs = self.term_df(cand)
+            excl_terms = [t for t in cand if excl_dfs[t] > 0]
+        pruned = (self._seg_prune.prune(terms + excl_terms)
+                  if terms else None)
         route = ("none (plan-time empty)" if empty else
                  "driver" if k is not None and self._route_driver(dfs, "auto")
                  else "spark")
@@ -917,6 +924,9 @@ class SearchIndex:
             "tokens": tokens,
             "terms": terms,
             "dfs": dfs,
+            "exclude_terms": excl_terms,
+            "n_tombstones": (0 if self._tombstones is None
+                             else int(len(self._tombstones))),
             "early_exit_empty": bool(empty),
             "route": route,
             "fetch_rows": (None if empty or k is None
