@@ -540,3 +540,50 @@ def test_streamed_appends_inherit_positions(spark, tmp_path):
     _assert_matches(got, want)
     # "datum alpha beta datum" (u14) arrived via the stream: covered
     assert "u14" in {g[0] for g in got}
+
+
+def test_fused_generator_multibatch_flush_identity():
+    """The cross-batch flush merge (dictionary-encode + integer lexsort —
+    the web-scale partition path that Spark-level tests never hit at small
+    fixtures) must produce the same postings and positions as a direct
+    per-pair oracle, across several input batches."""
+    from unittest import mock
+
+    import pandas as pd
+
+    from visigoth_spark.build import _fused_generator
+    from visigoth_spark.codec import decode_positions, decode_segment
+
+    rng = np.random.default_rng(5)
+    words = ["w%02d" % i for i in range(9)]
+    docs = [" ".join(words[j] for j in rng.integers(0, 9, rng.integers(2, 9)))
+            for _ in range(90)]
+    batches = [pd.DataFrame({"url": [f"u{i+off:03d}" for i in range(30)],
+                             "text": docs[off:off + 30]})
+               for off in (0, 30, 60)]
+
+    class FakeTC:
+        def partitionId(self):
+            return 0
+
+    gen = _fused_generator({0: 0}, AN, store_positions=True)
+    with mock.patch("pyspark.TaskContext.get", return_value=FakeTC()):
+        frames = list(gen(iter(batches)))
+    seg = pd.concat([f[f["kind"] == "s"] for f in frames])
+    got: dict[tuple, tuple] = {}
+    for _, row in seg.iterrows():
+        ids, tfs, dls = decode_segment(bytes(row["blob"]))
+        pos = decode_positions(bytes(row["pos_blob"]), tfs)
+        off = 0
+        for i, docid in enumerate(ids):
+            got[(row["term"], int(docid))] = (
+                int(tfs[i]), int(dls[i]),
+                tuple(int(p) for p in pos[off:off + tfs[i]]))
+            off += int(tfs[i])
+    want: dict[tuple, tuple] = {}
+    for docid, text in enumerate(docs):
+        toks = text.split()
+        for t in set(toks):
+            ps = tuple(i for i, x in enumerate(toks) if x == t)
+            want[(t, docid)] = (len(ps), len(toks), ps)
+    assert got == want

