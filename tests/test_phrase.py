@@ -353,8 +353,20 @@ def test_phrase_and_expansion_on_object_store_uri(spark, tmp_path):
     want = phrase_oracle(corpus, ("alpha", "beta"))
     got = _got(idx.search("alpha beta", engine="phrase", k=10))
     _assert_matches(got, want)
-    # expansion over the Spark-read termdict
+    # expansion works over the URI index...
     assert idx.expand_prefix("pre") == ["prefab", "prefix", "presto"]
+    assert "datun" in idx.expand_fuzzy("datum")
+    # ...and the TRUE-remote range seek (what an s3a:// index uses, where
+    # no local pyarrow path exists) returns the same window, driven
+    # through the HadoopStore seekable stream
+    from visigoth_spark import storage as vstore
+    from visigoth_spark.query import _RemoteTermdict
+
+    st = vstore.get_store(out, spark)
+    rtd = _RemoteTermdict(st, vstore.join(out, "termdict"))
+    assert rtd.scan_range("pre", "prf") == ["prefab", "prefix", "presto"]
+    assert "datum" in rtd.scan_range("", None)  # fuzzy's full-vocab pass
+    rtd.close()
     a = _got(idx.search("pre", engine="bm25_prefix", k=10))
     exp = idx.expand_prefix("pre")
     b = _got(idx.search(" ".join(exp), engine="bm25_or", k=10))

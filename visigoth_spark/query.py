@@ -166,6 +166,27 @@ class _RemoteTermdict:
                     out[t] += int(d)
         return out
 
+    def scan_range(self, lo: str, hi: str | None) -> list[str]:
+        """Vocabulary terms in [lo, hi) — the prefix-expansion range seek
+        for object-store indexes: only the row groups whose term range
+        intersects the window are fetched (ranged GETs); hi=None scans the
+        whole vocabulary (the fuzzy candidate pass)."""
+        import pyarrow.compute as pc
+
+        out: list[str] = []
+        for pf, ranges in self._files:
+            need = [
+                i for i, r in enumerate(ranges)
+                if r is None or (r[1] >= lo and (hi is None or r[0] < hi))
+            ]
+            for i in need:
+                tbl = pf.read_row_group(i, columns=["term"])
+                m = pc.greater_equal(tbl["term"], lo)
+                if hi is not None:
+                    m = pc.and_(m, pc.less(tbl["term"], hi))
+                out.extend(tbl.filter(m)["term"].to_pylist())
+        return sorted(out)
+
     def close(self) -> None:
         """Release the held JVM streams. Called when the reader is
         invalidated (e.g. a maintenance op swapped the termdict under it)
@@ -706,11 +727,26 @@ class SearchIndex:
                 flt = ds.field("term") >= lo
                 if hi is not None:
                     flt = flt & (ds.field("term") < hi)
-                tbl = ds.dataset(td, format="parquet").to_table(
+                tbl = self._dataset(td).to_table(
                     columns=["term"], filter=flt)
                 return tbl["term"].to_pylist()
             except Exception:
                 pass
+        if self._local_root is None:
+            # object-store index: row-group-pruned remote range seek —
+            # ranged GETs, no Spark job (same reader term_df uses)
+            try:
+                if self._remote_td is None:
+                    td_uri = vstore.join(self.index_dir, "termdict")
+                    if self._store.isdir(td_uri):
+                        self._remote_td = _RemoteTermdict(
+                            self._store, td_uri)
+                if self._remote_td is not None:
+                    return self._remote_td.scan_range(lo, hi)
+            except Exception:
+                if self._remote_td is not None:
+                    self._remote_td.close()
+                self._remote_td = None
         td_uri = vstore.join(self.index_dir, "termdict")
         if not self._store.isdir(td_uri):
             return None
