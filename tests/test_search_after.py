@@ -108,3 +108,51 @@ def test_after_validation(pidx):
         pidx.search("alpha", k=None, after=(1.0, 0))
     with pytest.raises(ValueError, match="after"):
         pidx.search("alpha", engine="noop_all", after=(1.0, 0))
+
+
+# ---- per-term boosts ---------------------------------------------------------
+
+
+def test_boost_identity_when_one(pidx):
+    a = _rows(pidx.search("alpha beta", engine="bm25", k=10))
+    b = _rows(pidx.search("alpha^1 beta", engine="bm25", k=10))
+    assert a == b
+
+
+def test_boost_scales_term_contribution(pidx):
+    import math
+
+    base = {r[1]: r[2] for r in _rows(
+        pidx.search("alpha", engine="bm25", k=24))}
+    boosted = {r[1]: r[2] for r in _rows(
+        pidx.search("alpha^2.5", engine="bm25", k=24))}
+    for d, s in base.items():
+        assert math.isclose(boosted[d], 2.5 * s, rel_tol=1e-12)
+
+
+def test_boost_changes_or_ranking(pidx):
+    # filler5 appears only in u05; massively boosting it must rank u05 first
+    rows = _rows(pidx.search("alpha filler5^100", engine="bm25_or", k=3))
+    assert rows[0][0] == "u05"
+    rows0 = _rows(pidx.search("alpha filler5", engine="bm25_or", k=3))
+    assert rows != rows0
+
+
+def test_boost_wand_equals_exhaustive(pidx):
+    a = _rows(pidx.search("alpha^3 beta", engine="bm25", k=10))
+    b = _rows(pidx.search("alpha^3 beta", engine="bm25_exhaustive", k=10,
+                          route="spark"))
+    assert a == b
+
+
+def test_boost_in_search_many(pidx):
+    rows = pidx.search_many(["alpha^2.5"], engine="bm25", k=5).collect()
+    single = _rows(pidx.search("alpha^2.5", engine="bm25", k=5))
+    assert [(r["url"], r["docid"], r["score"], r["hits"])
+            for r in rows] == single
+
+
+def test_boost_without_caret_untouched(pidx):
+    # '^' inside no piece: the plain analyze path serves the query
+    a = _rows(pidx.search("alpha beta", engine="bm25", k=5))
+    assert len(a) == 5

@@ -863,6 +863,49 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
 """
 
 
+def q_bm25_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-TERM BOOST production path: "spark^2 join" — the boost scales
+    the term's idf, which flows through exact scoring and the WAND/OR
+    block-max upper bounds identically (both linear in idf, so pruning
+    stays exact). Oracle: the AND-BM25 SQL with the idf term scaled by a
+    CASE on the boosted term."""
+    idx = _plain_pos_index(spark, sf_dir)
+    res = idx.search("spark^2 join", engine="bm25", k=10)
+    return res.select(
+        F.expr("cast(substring(url, 5, 12) as bigint)").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+SQL_BM25_BOOST = f"""
+WITH {SQL_TOKENS},
+stats AS (
+    SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+           COUNT(*) * 1.0 / (SELECT COUNT(*) FROM documents) AS avgdl
+    FROM toks
+),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+tf AS (
+    SELECT doc_id, t, COUNT(*) AS tf FROM toks
+    WHERE t IN ('join', 'spark') GROUP BY doc_id, t
+),
+dfs AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t)
+SELECT doc_id, score FROM (
+    SELECT tf.doc_id,
+           ROUND(SUM(
+               (CASE WHEN tf.t = 'spark' THEN 2.0 ELSE 1.0 END)
+               * LN((stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5) + 1.0)
+               * (tf.tf * (1.2 + 1.0))
+               / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+           ), 6) AS score,
+           COUNT(*) AS nt
+    FROM tf JOIN dfs USING (t) JOIN dl ON tf.doc_id = dl.doc_id, stats
+    GROUP BY tf.doc_id
+) WHERE nt = 2
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
 DEL_MOD = 7  # tombstone every 7th doc
 
 
@@ -1783,6 +1826,7 @@ QUERIES = {
     "vg_phrase_search": q_phrase_search,
     "vg_phrase_slop": q_phrase_slop,
     "vg_bm25_not": q_bm25_not,
+    "vg_bm25_boost": q_bm25_boost,
     "vg_bm25_deleted": q_bm25_deleted,
     "vg_bm25_prefix": q_bm25_prefix,
     "vg_bm25_fuzzy": q_bm25_fuzzy,
@@ -1825,6 +1869,7 @@ ORACLES = {
     "vg_phrase_search": SQL_PHRASE,
     "vg_phrase_slop": SQL_PHRASE_SLOP,
     "vg_bm25_not": SQL_BM25_NOT,
+    "vg_bm25_boost": SQL_BM25_BOOST,
     "vg_bm25_deleted": SQL_BM25_DELETED,
     "vg_bm25_prefix": SQL_BM25_PREFIX,
     "vg_bm25_fuzzy": SQL_BM25_FUZZY,

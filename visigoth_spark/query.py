@@ -1106,21 +1106,28 @@ class SearchIndex:
             out = src.select(*cols).orderBy("docid")
             return out.limit(k) if k is not None else out
 
-        tokens = analyze_text(query, self.analyzer)
+        tokens, boosts = _parse_boosted_query(query, self.analyzer)
         if not tokens:
             return self._empty_result(include_raw, highlight)
         if engine in _EXPANSION:
             # expand each analyzed token against the term dictionary, then
             # score the union as OR-BM25 (each expansion with its own idf —
-            # the Lucene MultiTermQuery boolean rewrite)
+            # the Lucene MultiTermQuery boolean rewrite). A boosted piece's
+            # expansions inherit its boost.
             expand = (self.expand_prefix if engine == "bm25_prefix"
                       else self.expand_fuzzy)
             expanded: set[str] = set()
+            eboosts: dict[str, float] = {}
             for tok in dict.fromkeys(tokens):
-                expanded.update(expand(tok))
+                exp = expand(tok)
+                expanded.update(exp)
+                if tok in boosts:
+                    for e in exp:
+                        eboosts[e] = boosts[tok]
             if not expanded:
                 return self._empty_result(include_raw, highlight)
             tokens = sorted(expanded)
+            boosts = eboosts
             engine = "bm25_or"
         if engine == "phrase" and not self.has_positions:
             raise ValueError(
@@ -1152,6 +1159,12 @@ class SearchIndex:
             t: math.log((n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5) + 1.0)
             for t in terms
         }
+        for t, b in boosts.items():
+            # boost = scaled idf: flows through exact scoring AND the
+            # WAND/OR block-max upper bounds identically (both are linear
+            # in idf), so pruning stays exact under boosts
+            if t in idf:
+                idf[t] *= b
 
         kernel = _make_kernel(engine, terms, multiplicity, idf, avgdl,
                               threshold=len(tokens), k=k, dfs=dfs,
@@ -1362,15 +1375,22 @@ class SearchIndex:
         plans: dict[int, dict] = {}
         all_terms: set[str] = set()
         for qid, q in enumerate(queries):
-            tokens = analyze_text(q, self.analyzer)
+            tokens, boosts = _parse_boosted_query(q, self.analyzer)
             if expand is not None and tokens:
                 expanded: set[str] = set()
+                eboosts: dict[str, float] = {}
                 for tok in dict.fromkeys(tokens):
-                    expanded.update(expand(tok))
+                    exp_t = expand(tok)
+                    expanded.update(exp_t)
+                    if tok in boosts:
+                        for e in exp_t:
+                            eboosts[e] = boosts[tok]
                 tokens = sorted(expanded)
+                boosts = eboosts
             if tokens:
                 terms = sorted(set(tokens))
-                plans[qid] = {"tokens": tokens, "terms": terms}
+                plans[qid] = {"tokens": tokens, "terms": terms,
+                              "boosts": boosts}
                 all_terms.update(terms)
         if not plans:
             return self._empty_batch_result(include_raw)
@@ -1388,6 +1408,9 @@ class SearchIndex:
                 t: math.log((n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5) + 1.0)
                 for t in terms
             }
+            for t, b in p.get("boosts", {}).items():
+                if t in idf:
+                    idf[t] *= b
             mult = {t: p["tokens"].count(t) for t in terms}
             plans[qid]["idf"] = idf
             plans[qid]["mult"] = mult
@@ -1842,6 +1865,37 @@ def _phrase_body(decoded: dict, tokens: list[str], idf: dict[str, float],
     if k is not None and len(out) > k:
         out = _head_k_with_ties(out, "score", k)
     return out
+
+
+_BOOST_RE = None  # compiled lazily (module import stays light)
+
+
+def _parse_boosted_query(query: str, analyzer: AnalyzerConfig
+                         ) -> tuple[list[str], dict[str, float]]:
+    """Lucene-style per-term boosts: ``"curso^2 java"`` doubles curso's
+    contribution. Returns (analyzed tokens in order, {analyzed term ->
+    boost}). Parsed BEFORE analysis (the analyzer's keep-pattern would
+    split the ^2 into a numeric term); a boosted piece's analyzed tokens
+    all inherit its boost (last occurrence wins per term); queries
+    without '^' take the plain path untouched."""
+    if "^" not in query:
+        return analyze_text(query, analyzer), {}
+    global _BOOST_RE
+    if _BOOST_RE is None:
+        import re
+
+        _BOOST_RE = re.compile(r"^(.+)\^(\d+(?:\.\d+)?)$")
+    tokens: list[str] = []
+    boosts: dict[str, float] = {}
+    for piece in query.split():
+        m = _BOOST_RE.match(piece)
+        base, b = (m.group(1), float(m.group(2))) if m else (piece, None)
+        toks = analyze_text(base, analyzer)
+        tokens.extend(toks)
+        if b is not None:
+            for t in toks:
+                boosts[t] = b
+    return tokens, boosts
 
 
 def _after_keep(metric: np.ndarray, docids: np.ndarray,
