@@ -4,7 +4,7 @@
   (visigoth_spark.build) over the sf0.001 documents table and runs a top-k
   BM25 search through the per-bucket intersection kernel (visigoth_spark.
   query).
-- ``queries()`` / ``oracle_sql()``: 44 paired entries — engine semantics
+- ``queries()`` / ``oracle_sql()``: 45 paired entries — engine semantics
   (hits incl. duplicate-token weighting / linear / missing-term early exit /
   match-all / noop-zero / AND-BM25 / OR-BM25 / term df / corpus stats)
   re-expressed as relational plans, plus ``vg_bm25_stemmed`` (the REAL

@@ -1444,6 +1444,25 @@ GROUP BY d.source
 """
 
 
+SAMPLE_FRACS = {"en": 0.5, "es": 0.25, "de": 1.0}  # fr/zh -> default 0.0
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (language-mixing primitive):
+    md5-bucket membership — reproducible across runs/engines and stable
+    under repartitioning, unlike Bernoulli sampleBy."""
+    return P.stratified_sample(
+        _docs(spark, sf_dir), SAMPLE_FRACS).select("doc_id", "lang")
+
+
+SQL_STRATIFIED_SAMPLE = """
+SELECT doc_id, lang FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::UBIGINT
+      < (CASE lang WHEN 'en' THEN 0.5 WHEN 'es' THEN 0.25
+                   WHEN 'de' THEN 1.0 ELSE 0.0 END) * 268435456.0
+"""
+
+
 DECON_N = 5
 DECON_MOD = 25  # benchmark stand-in: every 25th doc
 
@@ -1848,6 +1867,7 @@ QUERIES = {
     "collocations": q_collocations,
     "unigram_nll": q_unigram_nll,
     "decontaminate": q_decontaminate,
+    "stratified_sample": q_stratified_sample,
     "doc_fingerprint": q_doc_fingerprint,
     "doc_winnow": q_doc_winnow,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -1891,6 +1911,7 @@ ORACLES = {
     "collocations": SQL_COLLOCATIONS,
     "unigram_nll": SQL_UNIGRAM_NLL,
     "decontaminate": SQL_DECONTAMINATE,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "doc_fingerprint": SQL_FINGERPRINT,
     "doc_winnow": SQL_WINNOW,
     "ann_cosine_topk": SQL_ANN_COSINE,

@@ -810,6 +810,29 @@ def domain_stats(df: DataFrame, domain_col: str = "source",
     )
 
 
+def stratified_sample(df: DataFrame, fractions: dict[str, float],
+                      strata_col: str = "lang", id_col: str = "doc_id",
+                      default: float = 0.0) -> DataFrame:
+    """DETERMINISTIC stratified sampling — the language/domain mixing
+    primitive of a training-data pipeline (keep fraction f of each
+    stratum, e.g. downsample head languages). Unlike Bernoulli sampleBy,
+    membership is a pure function of the row id (md5-bucket < f*2^30), so
+    the sample is reproducible across runs/engines, exactly SQL-mirrorable
+    for the oracle, and stable under re-partitioning — the property a
+    resumable 100 TB pipeline needs (a retried task must keep the same
+    rows). One narrow projection + filter; no shuffle at all."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 7),
+               16, 10).cast("long")
+    )  # uniform in [0, 2^28)
+    frac = F.coalesce(
+        *[F.when(F.col(strata_col) == k, F.lit(float(v)))
+          for k, v in sorted(fractions.items())],
+        F.lit(float(default)),
+    )
+    return df.filter(bucket < frac * float(1 << 28))
+
+
 def decontaminate(df: DataFrame, benchmark: DataFrame,
                   id_col: str = "doc_id", text_col: str = "text",
                   n: int = 5) -> DataFrame:
