@@ -91,3 +91,14 @@ def test_exclude_affects_which_docs_make_topk(xidx):
 def test_exclude_rejected_on_noops(xidx):
     with pytest.raises(ValueError, match="noop"):
         xidx.search("alpha", engine="noop_all", exclude="spam")
+
+
+def test_catalog_and_iter_forward_kwargs(spark, xidx, tmp_path):
+    from visigoth_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "kcat"), analyzer=AN)
+    cat.ingest("d", spark.createDataFrame(DOCS, "url string, text string"))
+    rows = cat.search("d", "alpha beta", k=10, exclude="spam").collect()
+    assert rows and not ({r["url"] for r in rows} & SPAM)
+    it = list(xidx.search_iter("alpha beta", k=10, exclude="spam"))
+    assert it and not ({r["url"] for r in it} & SPAM)

@@ -169,13 +169,16 @@ class Catalog:
     # ---- D2: search with alias fan-out --------------------------------------
     def search(self, name: str, query: str, engine: str = "bm25",
                k: int | None = 10, include_raw: bool = False,
-               route: str = "auto") -> DataFrame:
+               route: str = "auto", **search_kwargs) -> DataFrame:
+        """Extra keyword args (slop / exclude / highlight / after /
+        ...) forward to :meth:`SearchIndex.search` on every target."""
         targets = self._resolve(name)
         if not targets:
             raise KeyError(f"index {name!r} does not exist")  # repos_repo.go:182
         frames = [
             SearchIndex(self.spark, self._index_dir(t), self.analyzer)
-            .search(query, engine, k, include_raw=include_raw, route=route)
+            .search(query, engine, k, include_raw=include_raw, route=route,
+                    **search_kwargs)
             for t in targets
         ]
         out = frames[0]

@@ -1314,15 +1314,17 @@ class SearchIndex:
 
     def search_iter(self, query: str, engine: str = "bm25",
                     k: int | None = None, include_raw: bool = False,
-                    prefetch: bool = True):
+                    prefetch: bool = True, **search_kwargs):
         """Row iterator over results in engine order — ≙ the reference's
         ``streams.ReadStream`` result streaming (repos_repo.go:20,193,213):
         consume an unbounded result set without materializing it on the
         driver. ``k=None`` (default) streams EVERY match via
         ``toLocalIterator`` (one partition resident at a time;
         ``prefetch`` overlaps the next partition's fetch with consumption);
-        with ``k`` set it simply iterates the top-k rows."""
-        df = self.search(query, engine, k=k, include_raw=include_raw)
+        with ``k`` set it simply iterates the top-k rows. Extra keyword
+        args (slop / exclude / ...) forward to :meth:`search`."""
+        df = self.search(query, engine, k=k, include_raw=include_raw,
+                         **search_kwargs)
         if k is not None:
             return iter(df.collect())
         return df.toLocalIterator(prefetchPartitions=prefetch)
