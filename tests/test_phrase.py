@@ -599,3 +599,27 @@ def test_fused_generator_multibatch_flush_identity():
             ps = tuple(i for i, x in enumerate(toks) if x == t)
             want[(t, docid)] = (len(ps), len(toks), ps)
     assert got == want
+
+
+def test_stream_creates_positional_index_from_scratch(spark, tmp_path):
+    """foreach_batch_indexer(store_positions=True): the FIRST epoch's
+    fresh build enables positions, later epochs inherit; a conflicting
+    explicit append raises instead of mixing."""
+    from visigoth_spark.build import append_index
+    from visigoth_spark.streaming import foreach_batch_indexer
+
+    out = str(tmp_path / "spidx")
+    fn = foreach_batch_indexer(out, analyzer=AN, num_partitions=2,
+                               store_positions=True)
+    fn(spark.createDataFrame(DOCS[:8], "url string, text string"), 0)
+    fn(spark.createDataFrame(DOCS[8:], "url string, text string"), 1)
+    idx = SearchIndex(spark, out, analyzer=AN)
+    assert idx.has_positions
+    corpus = _analyzed()
+    want = phrase_oracle(corpus, ("alpha", "beta"))
+    _assert_matches(_got(idx.search("alpha beta", engine="phrase", k=10)),
+                    want)
+    with pytest.raises(ValueError, match="store_positions"):
+        append_index(spark, spark.createDataFrame(
+            [("zz", "alpha")], "url string, text string"),
+            out, analyzer=AN, num_partitions=1, store_positions=False)

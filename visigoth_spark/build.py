@@ -887,8 +887,14 @@ def append_index(
     batch_id: int | None = None,
     base_docid: int | None = None,
     bucket_base: int | None = None,
+    store_positions: bool | None = None,
 ) -> BuildMetrics:
     """Incrementally ingest ``corpus`` into an EXISTING index (or create it).
+
+    ``store_positions``: only meaningful when this call CREATES the index
+    (the streaming first-epoch path) — an existing index's setting is an
+    index-level invariant that appends inherit; passing a conflicting
+    value raises instead of silently building a mixed index.
 
     ≙ the reference's incremental ``MemoryIndex.Put``
     (index_memory_index.go:44-60): new documents get docids continuing after
@@ -932,12 +938,20 @@ def append_index(
         return build_index(spark, corpus, out_dir, analyzer=analyzer,
                            num_partitions=num_partitions,
                            flush_docs=flush_docs, store_raw=store_raw,
-                           statement_col=statement_col)
+                           statement_col=statement_col,
+                           store_positions=bool(store_positions))
     stats = load_stats(out_dir)
     # positions are an index-level invariant: a mixed index (some batches
     # with pos_blob, some without) would silently break phrase queries on
     # the gap — appends always inherit the base index's setting
-    store_positions = bool(stats.get("store_positions"))
+    inherited = bool(stats.get("store_positions"))
+    if store_positions is not None and bool(store_positions) != inherited:
+        raise ValueError(
+            f"store_positions={store_positions} conflicts with the "
+            f"index's setting ({inherited}); positions are an index-level "
+            "invariant — rebuild (or compact into a new index) to change it"
+        )
+    store_positions = inherited
     manifests = _batch_manifests(out_dir)
     if base_docid is None:
         base_docid = max(

@@ -39,7 +39,8 @@ from visigoth_spark.build import append_index
 def foreach_batch_indexer(out_dir: str,
                           analyzer: AnalyzerConfig = DEFAULT_ANALYZER,
                           num_partitions: int | None = None,
-                          merge_every: int | None = None):
+                          merge_every: int | None = None,
+                          store_positions: bool = False):
     """Returns a foreachBatch(fn) that appends each micro-batch to the index.
 
     Epoch idempotence (see module docstring): the stream manifest pins each
@@ -118,7 +119,8 @@ def foreach_batch_indexer(out_dir: str,
                 return
             m = build_index(batch_df.sparkSession, batch_df, out_dir,
                             analyzer=analyzer,
-                            num_partitions=num_partitions)
+                            num_partitions=num_partitions,
+                            store_positions=store_positions)
         else:
             m = append_index(
                 batch_df.sparkSession, batch_df, out_dir, analyzer=analyzer,
@@ -251,6 +253,7 @@ def stream_index(
     num_partitions: int | None = None,
     available_now: bool = True,
     merge_every: int | None = None,
+    store_positions: bool = False,
 ):
     """Index a growing parquet directory incrementally. With
     ``available_now`` the stream drains everything currently present and
@@ -263,7 +266,8 @@ def stream_index(
         stream.writeStream
         .foreachBatch(foreach_batch_indexer(out_dir, analyzer,
                                             num_partitions,
-                                            merge_every=merge_every))
+                                            merge_every=merge_every,
+                                            store_positions=store_positions))
         .option("checkpointLocation", checkpoint_dir)
     )
     if available_now:
