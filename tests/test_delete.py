@@ -217,3 +217,45 @@ def test_update_docs_replace_by_url(spark, didx):
     assert "u02" not in {g[0] for g in _got(idx.search("old", k=10))}
     # untouched docs still match
     assert "u01" in {g[0] for g in _got(idx.search("alpha beta", k=10))}
+
+
+def test_compact_all_tombstoned_raises_clearly(spark, didx):
+    from visigoth_spark.build import compact_index, delete_docs
+
+    delete_docs(spark, didx, docids=list(range(len(DOCS))))
+    with pytest.raises(ValueError, match="tombstoned"):
+        compact_index(spark, didx, num_partitions=2)
+
+
+def test_noop_all_with_broadcast_size_tombstones(spark, didx, monkeypatch):
+    from visigoth_spark.build import delete_docs
+
+    delete_docs(spark, didx, urls=sorted(OLD))
+    monkeypatch.setattr(SearchIndex, "_TOMB_BROADCAST_MIN", 0)
+    idx = SearchIndex(spark, didx, analyzer=AN)
+    urls = {r["url"] for r in idx.search("", engine="noop_all",
+                                         k=None).collect()}
+    assert urls == {u for u, _ in DOCS} - OLD
+
+
+def test_update_docs_counts_urls_not_docids(spark, didx):
+    """A url ingested TWICE (the reference appends duplicates as distinct
+    docs) then updated counts as ONE replaced url; an already-tombstoned
+    url counts zero."""
+    from visigoth_spark.build import append_index, delete_docs, update_docs
+
+    append_index(spark, spark.createDataFrame(
+        [("u02", "alpha beta old again")], "url string, text string"),
+        didx, analyzer=AN, num_partitions=1)  # u02 now has TWO docids
+    new = spark.createDataFrame([("u02", "omega v2")],
+                                "url string, text string")
+    assert update_docs(spark, didx, new, analyzer=AN,
+                       num_partitions=1) == 1
+    idx = SearchIndex(spark, didx, analyzer=AN)
+    assert {g[0] for g in _got(idx.search("omega", k=10))} == {"u02"}
+    assert "u02" not in {g[0] for g in _got(idx.search("old", k=10))}
+    # updating an url whose docs are all tombstoned already: 0 replaced
+    delete_docs(spark, didx, urls=["u04"])
+    assert update_docs(spark, didx, spark.createDataFrame(
+        [("u04", "omega v3")], "url string, text string"),
+        analyzer=AN, num_partitions=1) == 0

@@ -156,3 +156,24 @@ def test_boost_without_caret_untouched(pidx):
     # '^' inside no piece: the plain analyze path serves the query
     a = _rows(pidx.search("alpha beta", engine="bm25", k=5))
     assert len(a) == 5
+
+
+def test_explain_boosted_query_matches_search(pidx):
+    ex = pidx.explain_query("alpha^2 beta", engine="bm25")
+    assert ex["terms"] == ["alpha", "beta"]  # no stray numeric '2' term
+    assert ex["early_exit_empty"] is False
+
+
+def test_catalog_multi_target_pagination_refused(spark, tmp_path):
+    from visigoth_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "pcat"), analyzer=AN)
+    df = spark.createDataFrame(DOCS[:6], "url string, text string")
+    cat.ingest("a", df)
+    cat.ingest("b", df)
+    cat.alias("both", "a")
+    cat.alias("both", "b")
+    with pytest.raises(ValueError, match="per-index"):
+        cat.search("both", "alpha", k=5, after=(1.0, 3))
+    # single target stays fine
+    assert cat.search("a", "alpha", k=5, after=(1e9, -1)).collect()

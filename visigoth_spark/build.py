@@ -1481,7 +1481,26 @@ def update_docs(spark: SparkSession, index_dir: str, corpus: DataFrame,
     The url list is collected to the driver (update batches are small by
     nature; bulk rewrites should use build/compact)."""
     urls = [r["url"] for r in corpus.select("url").distinct().collect()]
-    replaced = delete_docs(spark, index_dir, urls=urls)
+    # replaced = DISTINCT urls currently visible (a url ingested twice
+    # counts once; an already-tombstoned url counts zero — it no longer
+    # "exists"); the delete itself tombstones by docid set
+    replaced = 0
+    if urls:
+        vis = [m["batch"] for m in _visible_batches(index_dir)]
+        data_root = os.path.join(index_dir, "data")
+        data = spark.read.option("basePath", data_root).parquet(data_root)
+        rows = (
+            data.filter(F.col("kind") == "d")
+            .filter(F.col("batch").isin(vis))
+            .filter(F.col("url").isin(urls))
+            .select("url", "docid").collect()
+        )
+        live = set(load_tombstones(index_dir))
+        found = [(r["url"], int(r["docid"])) for r in rows
+                 if int(r["docid"]) not in live]
+        replaced = len({u for u, _ in found})
+        if found:
+            delete_docs(spark, index_dir, docids=[d for _, d in found])
     append_index(spark, corpus, index_dir, analyzer=analyzer,
                  num_partitions=num_partitions, **append_kwargs)
     return replaced
@@ -1604,6 +1623,12 @@ def compact_index(
         offsets = _partition_offsets(src)
         n_docs = offsets.pop(-1)
         if n_docs == 0:
+            if tombs:
+                raise ValueError(
+                    "every document is tombstoned — an index cannot "
+                    "compact to empty; drop it (Catalog.drop / rmtree) "
+                    "instead of compacting"
+                )
             raise ValueError("cannot compact an empty index")
         P = len(offsets)
 

@@ -175,6 +175,17 @@ class Catalog:
         targets = self._resolve(name)
         if not targets:
             raise KeyError(f"index {name!r} does not exist")  # repos_repo.go:182
+        if search_kwargs.get("after") is not None and len(targets) > 1:
+            # the cursor's docid tiebreak is a PER-INDEX namespace: the
+            # same (score, docid) pair means different rows on different
+            # targets, so fan-out pagination would silently drop rows —
+            # refuse instead (paginate a single index, or merge pages
+            # client-side on (score, url))
+            raise ValueError(
+                "after= pagination is not supported across a multi-index "
+                f"alias ({len(targets)} targets) — the cursor docid is a "
+                "per-index namespace"
+            )
         frames = [
             SearchIndex(self.spark, self._index_dir(t), self.analyzer)
             .search(query, engine, k, include_raw=include_raw, route=route,

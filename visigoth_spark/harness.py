@@ -1519,7 +1519,8 @@ cu AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
 nb AS (SELECT COUNT(*) AS nb FROM bg),
 nu AS (SELECT COUNT(*) AS nu FROM uni)
 SELECT w1, w2, CAST(c12 AS BIGINT) AS c12,
-       ROUND(LN(c12 * nu.nu * nu.nu / (nb.nb * cu1.c * cu2.c)), 6) AS pmi
+       ROUND(LN(c12) + 2 * LN(nu.nu) - LN(nb.nb)
+             - LN(cu1.c) - LN(cu2.c), 6) AS pmi
 FROM c12
 JOIN cu cu1 ON c12.w1 = cu1.w
 JOIN cu cu2 ON c12.w2 = cu2.w, nb, nu

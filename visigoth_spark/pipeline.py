@@ -816,7 +816,8 @@ def stratified_sample(df: DataFrame, fractions: dict[str, float],
     """DETERMINISTIC stratified sampling — the language/domain mixing
     primitive of a training-data pipeline (keep fraction f of each
     stratum, e.g. downsample head languages). Unlike Bernoulli sampleBy,
-    membership is a pure function of the row id (md5-bucket < f*2^30), so
+    membership is a pure function of the row id (28-bit md5 bucket
+    < f * 2^28 — 7 hex chars), so
     the sample is reproducible across runs/engines, exactly SQL-mirrorable
     for the oracle, and stable under re-partitioning — the property a
     resumable 100 TB pipeline needs (a retried task must keep the same
@@ -915,11 +916,12 @@ def collocations(df: DataFrame, id_col: str = "doc_id",
     cu = uni.groupBy("w").agg(F.count("*").alias("c"))
     nb = bg.agg(F.count("*").alias("nb"))
     nu = uni.agg(F.count("*").alias("nu"))
+    # log-space: the ratio form (c12*nu^2)/(nb*c1*c2) overflows int64 once
+    # the corpus passes ~3e9 tokens (nu^2 > 2^63) — exactly the scale the
+    # plan shape targets
     pmi = F.round(
-        F.log(
-            F.col("c12") * F.col("nu") * F.col("nu")
-            / (F.col("nb") * F.col("c1") * F.col("c2"))
-        ),
+        F.log("c12") + 2 * F.log("nu") - F.log("nb")
+        - F.log("c1") - F.log("c2"),
         6,
     )
     return (

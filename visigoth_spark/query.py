@@ -954,7 +954,7 @@ class SearchIndex:
         admits (vs total), and the early-exit decision. The serving-ops
         answer to `.explain("formatted")` for a layer whose planning
         happens before Catalyst sees anything."""
-        tokens = analyze_text(query, self.analyzer)
+        tokens, _boosts = _parse_boosted_query(query, self.analyzer)
         if engine in _EXPANSION and tokens:
             expand = (self.expand_prefix if engine == "bm25_prefix"
                       else self.expand_fuzzy)
@@ -1101,8 +1101,16 @@ class SearchIndex:
                 cols.append("raw")
             src = self._docmap
             if self._tombstones is not None:
-                src = src.filter(~F.col("docid").isin(
-                    [int(d) for d in self._tombstones]))
+                if len(self._tombstones) <= self._TOMB_BROADCAST_MIN:
+                    src = src.filter(~F.col("docid").isin(
+                        [int(d) for d in self._tombstones]))
+                else:
+                    # a big tombstone set as IN-literals would bloat the
+                    # Catalyst plan itself — anti-join a broadcast instead
+                    tdf = self.spark.createDataFrame(
+                        [(int(d),) for d in self._tombstones],
+                        "docid long")
+                    src = src.join(F.broadcast(tdf), "docid", "left_anti")
             out = src.select(*cols).orderBy("docid")
             return out.limit(k) if k is not None else out
 
