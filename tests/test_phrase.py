@@ -623,3 +623,20 @@ def test_stream_creates_positional_index_from_scratch(spark, tmp_path):
         append_index(spark, spark.createDataFrame(
             [("zz", "alpha")], "url string, text string"),
             out, analyzer=AN, num_partitions=1, store_positions=False)
+
+
+def test_suggest_ranks_by_df(pos_idx):
+    # 'dala' is 1 edit from 'data' (df 2) and from 'gala'(absent); also
+    # from... construct: 'datu' -> datum(2 docs... df(datum)=2), datun(1),
+    # data(2)
+    out = pos_idx.suggest("datu")
+    assert [t for t, _ in out][:1] == ["data"] or out[0][1] >= out[-1][1]
+    # deterministic full contract on a known neighborhood
+    out2 = pos_idx.suggest("datun")
+    terms = [t for t, _ in out2]
+    assert set(terms) == {"datum", "datun"}
+    dfs = dict(out2)
+    assert dfs["datum"] == 2 and dfs["datun"] == 1
+    assert terms == ["datum", "datun"]  # df DESC
+    assert pos_idx.suggest("qqqq") == []
+    assert pos_idx.suggest("") == []

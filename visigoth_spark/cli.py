@@ -296,9 +296,11 @@ def cmd_inspect(argv: list[str]) -> int:
     p = argparse.ArgumentParser(prog="cli inspect")
     p.add_argument("--index", required=True)
     a = p.parse_args(argv)
-    from visigoth_spark.build import load_stats
+    from visigoth_spark.build import load_stats, load_tombstones
 
-    print(json.dumps(load_stats(a.index), indent=2))
+    out = load_stats(a.index)
+    out["n_tombstones"] = len(load_tombstones(a.index))
+    print(json.dumps(out, indent=2))
     return 0
 
 

@@ -771,6 +771,22 @@ class SearchIndex:
                 "prefix expansion requires an index with a termdict")
         return sorted(terms)[:max_terms]
 
+    def suggest(self, term: str, max_edits: int = 1, k: int = 5
+                ) -> list[tuple[str, int]]:
+        """Did-you-mean suggestions: vocabulary terms within ``max_edits``
+        of the ANALYZED form of ``term``, ranked by document frequency
+        DESC (then term ASC) — the classic spell-correction ranking
+        (popular corrections first). Returns [(term, df), ...]."""
+        toks = analyze_text(term, self.analyzer)
+        if not toks:
+            return []
+        cands = self.expand_fuzzy(toks[0], max_edits=max_edits)
+        if not cands:
+            return []
+        dfs = self.term_df(cands)
+        ranked = sorted(cands, key=lambda t: (-dfs[t], t))
+        return [(t, dfs[t]) for t in ranked[:k]]
+
     def expand_fuzzy(self, term: str, max_edits: int = 1,
                      max_terms: int = 1024) -> list[str]:
         """Vocabulary terms within Levenshtein distance ``max_edits`` of
