@@ -640,3 +640,61 @@ def test_suggest_ranks_by_df(pos_idx):
     assert terms == ["datum", "datun"]  # df DESC
     assert pos_idx.suggest("qqqq") == []
     assert pos_idx.suggest("") == []
+
+
+class TestFuzzydictSidecar:
+    def test_sidecar_equals_scan_and_staleness(self, spark, tmp_path):
+        from visigoth_spark.build import (append_index, build_fuzzydict,
+                                          build_index)
+
+        out = str(tmp_path / "fidx")
+        build_index(spark, spark.createDataFrame(
+            DOCS, "url string, text string"), out, analyzer=AN,
+            num_partitions=2)
+        idx = SearchIndex(spark, out, analyzer=AN)
+        scan = {t: idx.expand_fuzzy(t) for t in
+                ("datum", "sow", "alpha", "qqqq", "prefib")}
+        n = build_fuzzydict(spark, out)
+        assert n > 0
+        idx2 = SearchIndex(spark, out, analyzer=AN)
+        for t, want in scan.items():
+            # sidecar path must be LIVE (candidates resolvable) and equal
+            assert idx2._fuzzy_sidecar_candidates(t) is not None, t
+            assert idx2.expand_fuzzy(t) == want, t
+        # transposition guard: variant intersection admits "ab"<->"ba"
+        # (distance 2) — the verify must reject it
+        assert "beta" not in idx2.expand_fuzzy("bate") or \
+            _ed_ok("bate", "beta")
+        # staleness: an append changes the vocabulary -> sidecar ignored,
+        # scan serves the NEW term
+        append_index(spark, spark.createDataFrame(
+            [("u99", "qqqx content")], "url string, text string"),
+            out, analyzer=AN, num_partitions=1)
+        idx3 = SearchIndex(spark, out, analyzer=AN)
+        assert idx3._fuzzy_sidecar_candidates("qqqq") is None  # stale
+        assert idx3.expand_fuzzy("qqqq") == ["qqqx"]
+        # rebuild refreshes it
+        build_fuzzydict(spark, out)
+        idx4 = SearchIndex(spark, out, analyzer=AN)
+        assert idx4._fuzzy_sidecar_candidates("qqqq") == ["qqqx"]
+        assert idx4.expand_fuzzy("qqqq") == ["qqqx"]
+
+    def test_sidecar_engine_path(self, spark, tmp_path):
+        from visigoth_spark.build import build_fuzzydict, build_index
+
+        out = str(tmp_path / "fidx2")
+        build_index(spark, spark.createDataFrame(
+            DOCS, "url string, text string"), out, analyzer=AN,
+            num_partitions=2, store_positions=True)
+        build_fuzzydict(spark, out)
+        idx = SearchIndex(spark, out, analyzer=AN)
+        a = _got(idx.search("datun", engine="bm25_fuzzy", k=10))
+        b = _got(idx.search(" ".join(idx.expand_fuzzy("datun")),
+                            engine="bm25_or", k=10))
+        assert a == b and len(a) > 0
+
+
+def _ed_ok(a, b):
+    from visigoth_spark.query import _edit_distance_le
+
+    return _edit_distance_le(a, b, 1)

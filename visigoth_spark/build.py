@@ -1465,6 +1465,66 @@ def delete_docs(spark: SparkSession, index_dir: str,
     return len(new)
 
 
+@_locked("fuzzydict", dir_arg=1)
+def build_fuzzydict(spark: SparkSession, index_dir: str,
+                    num_files: int = 4) -> int:
+    """SymSpell-style deletion-neighborhood sidecar for fuzzy expansion:
+    one (variant, term) row for every vocabulary term and each of its
+    1-deletion strings, variant-range partitioned + variant-sorted. Two
+    terms are within Levenshtein 1 iff their deletion neighborhoods
+    intersect (incl. the terms themselves), so a fuzzy lookup becomes a
+    row-group-pruned point read of <= len(term)+1 variant keys instead of
+    the O(vocabulary) scan — the public SymSpell design (Garbe), which is
+    the scale path `expand_fuzzy` documents.
+
+    Freshness contract: the sidecar records the termdict manifest's
+    covers key; `expand_fuzzy` uses it ONLY while that key still matches
+    the live termdict (append/merge/compact change the vocabulary), and
+    silently falls back to the always-correct vocab scan otherwise —
+    re-run this op with the other maintenance ops. Returns the variant
+    row count."""
+    import visigoth_spark
+
+    visigoth_spark.ensure_shipped(spark)
+    store = vstore.get_store(index_dir, spark)
+    td_path = os.path.join(index_dir, "termdict")
+    if not store.isdir(td_path):
+        raise ValueError("index has no termdict — build the index first")
+    td_man = os.path.join(index_dir, "_manifests", "termdict.json")
+    covers = (store.read_json(td_man).get("covers_md5")
+              if store.exists(td_man) else None)
+    terms = spark.read.parquet(td_path).select("term")
+    # variants = the term itself + every 1-deletion string (pure Catalyst)
+    deletions = F.transform(
+        F.sequence(F.lit(1), F.length("term")),
+        lambda i: F.concat(
+            F.col("term").substr(F.lit(1), i - 1),
+            F.col("term").substr(i + 1, F.length("term")),
+        ),
+    )
+    rows = terms.select(
+        F.explode(
+            F.array_union(F.array(F.col("term")), deletions)
+        ).alias("variant"),
+        "term",
+    )
+    tmp = os.path.join(index_dir, "_fuzzydict_tmp")
+    store.rmtree(tmp)
+    (
+        rows.repartitionByRange(num_files, "variant")
+        .sortWithinPartitions("variant", "term")
+        .write.mode("overwrite")
+        .option("parquet.block.size", str(1 << 20))
+        .parquet(tmp)
+    )
+    final = os.path.join(index_dir, "fuzzydict")
+    store.rmtree(final)
+    store.rename(tmp, final)
+    _write_manifest(os.path.join(index_dir, "_manifests", "fuzzydict.json"),
+                    kind="fuzzydict", covers_md5=covers)
+    return spark.read.parquet(final).count()
+
+
 def update_docs(spark: SparkSession, index_dir: str, corpus: DataFrame,
                 analyzer: AnalyzerConfig = DEFAULT_ANALYZER,
                 num_partitions: int | None = None,

@@ -255,6 +255,20 @@ def cmd_gc(argv: list[str]) -> int:
     return 0
 
 
+def cmd_fuzzydict(argv: list[str]) -> int:
+    """Build/refresh the SymSpell deletion-neighborhood sidecar for
+    O(keys) fuzzy expansion (build.build_fuzzydict); run alongside the
+    other maintenance ops — a stale sidecar is ignored (scan fallback)."""
+    p = argparse.ArgumentParser(prog="cli fuzzydict")
+    p.add_argument("--index", required=True)
+    a = p.parse_args(argv)
+    from visigoth_spark.build import build_fuzzydict
+
+    spark = _session("visigoth-fuzzydict")
+    print(json.dumps({"variants": build_fuzzydict(spark, a.index)}))
+    return 0
+
+
 def cmd_delete(argv: list[str]) -> int:
     """Tombstone documents by url (build.delete_docs — LSM deletion:
     masked at query time, physically purged by `compact`)."""
@@ -308,7 +322,8 @@ def main() -> int:
     cmds = {"build": cmd_build, "query": cmd_query,
             "compact": cmd_compact, "merge": cmd_merge,
             "gc": cmd_gc, "inspect": cmd_inspect,
-            "explain": cmd_explain, "delete": cmd_delete}
+            "explain": cmd_explain, "delete": cmd_delete,
+            "fuzzydict": cmd_fuzzydict}
     if len(sys.argv) < 2 or sys.argv[1] not in cmds:
         print(f"usage: cli.py {{{'|'.join(cmds)}}} ...", file=sys.stderr)
         return 2

@@ -787,18 +787,67 @@ class SearchIndex:
         ranked = sorted(cands, key=lambda t: (-dfs[t], t))
         return [(t, dfs[t]) for t in ranked[:k]]
 
+    def _fuzzy_sidecar_candidates(self, term: str) -> list[str] | None:
+        """Distance-1 candidates via the SymSpell deletion-neighborhood
+        sidecar (``build.build_fuzzydict``) — a point read of
+        <= len(term)+1 variant keys instead of a vocabulary scan. None
+        when the sidecar is absent or STALE (its recorded termdict covers
+        key no longer matches the live termdict) — the caller falls back
+        to the always-correct scan. Candidates still get the exact
+        edit-distance verify (variant intersection admits transpositions,
+        which are distance 2)."""
+        man_dir = os.path.join(self.index_dir, "_manifests")
+        fd_man = os.path.join(man_dir, "fuzzydict.json")
+        td_man = os.path.join(man_dir, "termdict.json")
+        try:
+            if not (self._store.exists(fd_man)
+                    and self._store.exists(td_man)):
+                return None
+            if (self._store.read_json(fd_man).get("covers_md5")
+                    != self._store.read_json(td_man).get("covers_md5")):
+                return None  # vocabulary changed since the sidecar build
+            keys = sorted({term} | {term[:i] + term[i + 1:]
+                           for i in range(len(term))})
+            if self._local_root is not None:
+                local = os.path.join(self._local_root, "fuzzydict")
+                if not os.path.isdir(local):
+                    return None
+                import pyarrow.dataset as ds
+
+                tbl = self._dataset(local).to_table(
+                    columns=["term"],
+                    filter=ds.field("variant").isin(keys))
+                return sorted(set(tbl["term"].to_pylist()))
+            fd_dir = vstore.join(self.index_dir, "fuzzydict")
+            if not self._store.isdir(fd_dir):
+                return None
+            rows = (
+                self.spark.read.parquet(fd_dir)
+                .filter(F.col("variant").isin(keys))
+                .select("term").distinct().collect()
+            )
+            return sorted(r["term"] for r in rows)
+        except Exception:
+            return None
+
     def expand_fuzzy(self, term: str, max_edits: int = 1,
                      max_terms: int = 1024) -> list[str]:
         """Vocabulary terms within Levenshtein distance ``max_edits`` of
-        ``term`` (analyzed form). Candidate generation: one termdict
-        column scan filtered to |len-len(term)| <= max_edits Arrow-side,
-        then an early-exit banded edit-distance check on the (small)
-        survivor set. O(vocab) in the worst case — honest for this repo's
-        scale; the production upgrade is a Levenshtein automaton over an
-        FST termdict (public Lucene design), which slots in behind this
-        same method."""
+        ``term`` (analyzed form). For ``max_edits=1`` with a FRESH
+        ``fuzzydict`` sidecar (build.build_fuzzydict), candidates come
+        from a SymSpell deletion-neighborhood point read; otherwise one
+        termdict column scan filtered to |len-len(term)| <= max_edits
+        Arrow-side, then an early-exit banded edit-distance check on the
+        (small) survivor set — O(vocab) worst case, documented honestly
+        (a Levenshtein automaton over an FST is the other public upgrade
+        path)."""
         if not term:
             return []
+        if max_edits == 1:
+            cands = self._fuzzy_sidecar_candidates(term)
+            if cands is not None:
+                out = [t for t in cands if _edit_distance_le(term, t, 1)]
+                return sorted(out)[:max_terms]
         terms = self._vocab_range("", None)
         if terms is None:
             raise ValueError(
