@@ -626,11 +626,6 @@ def test_stream_creates_positional_index_from_scratch(spark, tmp_path):
 
 
 def test_suggest_ranks_by_df(pos_idx):
-    # 'dala' is 1 edit from 'data' (df 2) and from 'gala'(absent); also
-    # from... construct: 'datu' -> datum(2 docs... df(datum)=2), datun(1),
-    # data(2)
-    out = pos_idx.suggest("datu")
-    assert [t for t, _ in out][:1] == ["data"] or out[0][1] >= out[-1][1]
     # deterministic full contract on a known neighborhood
     out2 = pos_idx.suggest("datun")
     terms = [t for t, _ in out2]
@@ -640,6 +635,8 @@ def test_suggest_ranks_by_df(pos_idx):
     assert terms == ["datum", "datun"]  # df DESC
     assert pos_idx.suggest("qqqq") == []
     assert pos_idx.suggest("") == []
+    with pytest.raises(ValueError, match="single term"):
+        pos_idx.suggest("machine lerning")
 
 
 class TestFuzzydictSidecar:
@@ -698,3 +695,59 @@ def _ed_ok(a, b):
     from visigoth_spark.query import _edit_distance_le
 
     return _edit_distance_le(a, b, 1)
+
+
+def test_merge_repoints_fuzzydict_and_refresh_sees_rebuild(spark, tmp_path):
+    """A minor merge keeps a fresh sidecar live (vocabulary unchanged —
+    covers re-pointed with the termdict's); a rebuild after an append
+    becomes visible at refresh() (snapshot semantics)."""
+    from visigoth_spark.build import (append_index, build_fuzzydict,
+                                      build_index, merge_appends)
+
+    out = str(tmp_path / "mfidx")
+    build_index(spark, spark.createDataFrame(
+        DOCS[:10], "url string, text string"), out, analyzer=AN,
+        num_partitions=2)
+    # two appends (same vocab universe) then a fresh sidecar, then merge
+    append_index(spark, spark.createDataFrame(
+        DOCS[10:13], "url string, text string"), out, analyzer=AN,
+        num_partitions=1)
+    append_index(spark, spark.createDataFrame(
+        DOCS[13:], "url string, text string"), out, analyzer=AN,
+        num_partitions=1)
+    build_fuzzydict(spark, out)
+    idx0 = SearchIndex(spark, out, analyzer=AN)
+    assert idx0._fuzzydict_ok
+    merge_appends(spark, out, num_partitions=2)
+    idx1 = SearchIndex(spark, out, analyzer=AN)
+    assert idx1._fuzzydict_ok  # NOT false-staled by the layout-only merge
+    assert idx1.expand_fuzzy("datun") == ["datum", "datun"]
+    # vocabulary change: stale at the next snapshot; rebuild + refresh
+    append_index(spark, spark.createDataFrame(
+        [("u98", "qqqz fresh")], "url string, text string"), out,
+        analyzer=AN, num_partitions=1)
+    idx2 = SearchIndex(spark, out, analyzer=AN)
+    assert not idx2._fuzzydict_ok
+    assert idx2.expand_fuzzy("qqqz") == ["qqqz"]  # scan fallback, correct
+    build_fuzzydict(spark, out)
+    assert not idx2._fuzzydict_ok  # pinned snapshot
+    idx2.refresh()
+    assert idx2._fuzzydict_ok
+    assert idx2._fuzzy_sidecar_candidates("qqqz") == ["qqqz"]
+
+
+def test_suggest_live_df_excludes_deleted(spark, tmp_path):
+    from visigoth_spark.build import build_index, delete_docs
+
+    out = str(tmp_path / "sidx")
+    build_index(spark, spark.createDataFrame(
+        DOCS, "url string, text string"), out, analyzer=AN,
+        num_partitions=2)
+    # tombstone every doc containing 'datum' (u06, u14 -> docids 6, 14)
+    delete_docs(spark, out, urls=["u06", "u14"])
+    idx = SearchIndex(spark, out, analyzer=AN)
+    out2 = idx.suggest("datun")
+    # datum's docs are all deleted -> never suggested; datun lived in u06
+    # only -> also gone; data survives (u06 deleted but u11 lives)
+    terms = [t for t, _ in out2]
+    assert "datum" not in terms and "datun" not in terms

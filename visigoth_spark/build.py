@@ -1353,6 +1353,15 @@ def merge_appends(
             td_man["covers_md5"] = _covers_key(vis_ids)
             td_man["covers_n"] = len(vis_ids)
             store.write_json_atomic(td_man_path, td_man)
+            # the fuzzydict sidecar is derived from the (unchanged)
+            # vocabulary — re-point a fresh one the same way, or every
+            # merge would silently false-stale it back to the O(V) scan
+            fd_man_path = os.path.join(manifest_dir, "fuzzydict.json")
+            if store.exists(fd_man_path):
+                fd_man = store.read_json(fd_man_path)
+                if fd_man.get("covers_md5") == _covers_key(pre_visible):
+                    fd_man["covers_md5"] = _covers_key(vis_ids)
+                    store.write_json_atomic(fd_man_path, fd_man)
     # stats: recomputed from the visible manifests (same rule as append)
     stats["n_docs"] = max(m.get("docid_range", [0, 0])[1]
                           for m in vis_after)
@@ -1518,10 +1527,18 @@ def build_fuzzydict(spark: SparkSession, index_dir: str,
         .parquet(tmp)
     )
     final = os.path.join(index_dir, "fuzzydict")
+    man_path = os.path.join(index_dir, "_manifests", "fuzzydict.json")
+    # manifest-gated visibility: REMOVE the manifest before touching the
+    # directory, re-write it only after the swap completes. On object
+    # stores rename is copy+delete, so a pure refresh (covers unchanged)
+    # would otherwise expose a half-copied sidecar under a still-valid
+    # manifest; with the gate, readers in the window fail the freshness
+    # check and take the always-correct scan fallback.
+    with contextlib.suppress(FileNotFoundError):
+        store.remove(man_path)
     store.rmtree(final)
     store.rename(tmp, final)
-    _write_manifest(os.path.join(index_dir, "_manifests", "fuzzydict.json"),
-                    kind="fuzzydict", covers_md5=covers)
+    _write_manifest(man_path, kind="fuzzydict", covers_md5=covers)
     return spark.read.parquet(final).count()
 
 

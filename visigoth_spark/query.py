@@ -370,6 +370,22 @@ class SearchIndex:
             if ids:
                 self._tombstones = np.asarray(sorted(int(d) for d in ids),
                                               dtype=np.int64)
+        # fuzzydict sidecar freshness — snapshotted like every other
+        # manifest this class reads (a mid-snapshot rebuild becomes
+        # visible at refresh(); per-call manifest reads cost 2 remote GETs
+        # per token AND poisoned the dataset-handle cache when the sidecar
+        # files were swapped underneath a live reader)
+        self._fuzzydict_ok = False
+        fd_man = os.path.join(index_dir, "_manifests", "fuzzydict.json")
+        td_man = os.path.join(index_dir, "_manifests", "termdict.json")
+        try:
+            if self._store.exists(fd_man) and self._store.exists(td_man):
+                self._fuzzydict_ok = (
+                    self._store.read_json(fd_man).get("covers_md5")
+                    == self._store.read_json(td_man).get("covers_md5")
+                )
+        except Exception:
+            self._fuzzydict_ok = False
 
     # above this size, ship the tombstone set to executors ONCE (Spark
     # broadcast) instead of with every task's kernel closure
@@ -773,18 +789,36 @@ class SearchIndex:
 
     def suggest(self, term: str, max_edits: int = 1, k: int = 5
                 ) -> list[tuple[str, int]]:
-        """Did-you-mean suggestions: vocabulary terms within ``max_edits``
-        of the ANALYZED form of ``term``, ranked by document frequency
-        DESC (then term ASC) — the classic spell-correction ranking
-        (popular corrections first). Returns [(term, df), ...]."""
+        """Did-you-mean suggestions for ONE term: vocabulary terms within
+        ``max_edits`` of its ANALYZED form, ranked by document frequency
+        DESC (then term ASC) — the classic spell-correction ranking.
+        Returns [(term, df), ...]. A multi-token input raises (correct
+        tokens independently). With tombstones present, a candidate whose
+        df fits the driver bounds reports its LIVE df (deleted docs
+        subtracted — a fully-deleted term never gets suggested); head-term
+        dfs above the bound keep the termdict count (a <=1M tombstone set
+        cannot zero them)."""
         toks = analyze_text(term, self.analyzer)
         if not toks:
             return []
+        if len(toks) > 1:
+            raise ValueError(
+                f"suggest() takes a single term; {term!r} analyzed to "
+                f"{len(toks)} tokens — correct them independently"
+            )
         cands = self.expand_fuzzy(toks[0], max_edits=max_edits)
         if not cands:
             return []
         dfs = self.term_df(cands)
-        ranked = sorted(cands, key=lambda t: (-dfs[t], t))
+        if self._tombstones is not None:
+            for t in cands:
+                if 0 < dfs[t] <= self.driver_local_max_postings:
+                    d = self._decoded_term(t)
+                    if d is not None:
+                        dfs[t] = int(
+                            _excl_keep_mask(d[0], self._tombstones).sum())
+        ranked = sorted((t for t in cands if dfs[t] > 0),
+                        key=lambda t: (-dfs[t], t))
         return [(t, dfs[t]) for t in ranked[:k]]
 
     def _fuzzy_sidecar_candidates(self, term: str) -> list[str] | None:
@@ -796,16 +830,9 @@ class SearchIndex:
         to the always-correct scan. Candidates still get the exact
         edit-distance verify (variant intersection admits transpositions,
         which are distance 2)."""
-        man_dir = os.path.join(self.index_dir, "_manifests")
-        fd_man = os.path.join(man_dir, "fuzzydict.json")
-        td_man = os.path.join(man_dir, "termdict.json")
         try:
-            if not (self._store.exists(fd_man)
-                    and self._store.exists(td_man)):
+            if not self._fuzzydict_ok:  # absent/stale AT THIS SNAPSHOT
                 return None
-            if (self._store.read_json(fd_man).get("covers_md5")
-                    != self._store.read_json(td_man).get("covers_md5")):
-                return None  # vocabulary changed since the sidecar build
             keys = sorted({term} | {term[:i] + term[i + 1:]
                            for i in range(len(term))})
             if self._local_root is not None:
