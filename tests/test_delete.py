@@ -259,3 +259,45 @@ def test_update_docs_counts_urls_not_docids(spark, didx):
     assert update_docs(spark, didx, spark.createDataFrame(
         [("u04", "omega v3")], "url string, text string"),
         analyzer=AN, num_partitions=1) == 0
+
+
+def test_update_docs_join_path_above_driver_cap(spark, didx):
+    """An update batch bigger than ``driver_url_max`` takes the join-based
+    matching plan (urls never collected / never IN-list literals) and
+    produces the SAME result as the point path: old versions tombstoned,
+    new content searchable, replaced count url-exact."""
+    from visigoth_spark.build import update_docs
+
+    new = spark.createDataFrame(
+        [("u02", "omega fresh content"), ("u05", "omega also fresh"),
+         ("u99", "omega brand new")],
+        "url string, text string")
+    # driver_url_max=1 forces the join path for this 3-url batch
+    n_replaced = update_docs(spark, didx, new, analyzer=AN,
+                             num_partitions=1, driver_url_max=1)
+    assert n_replaced == 2  # u02+u05 existed, u99 is new
+    idx = SearchIndex(spark, didx, analyzer=AN)
+    assert {g[0] for g in _got(idx.search("omega", k=10))} == {
+        "u02", "u05", "u99"}
+    gone = {g[0] for g in _got(idx.search("old", k=10))}
+    assert "u02" not in gone and "u05" not in gone
+    assert "u04" in gone and "u07" in gone  # untouched old docs remain
+
+
+def test_update_docs_tombstone_cap_raises_loudly(spark, didx):
+    """A join-path update whose MATCH set exceeds tombstone_max refuses
+    with a clear error instead of materializing an unbounded tombstone
+    set — and leaves the index untouched (no partial delete/append)."""
+    from visigoth_spark.build import load_tombstones, update_docs
+
+    idx0 = SearchIndex(spark, didx, analyzer=AN)
+    before = _got(idx0.search("alpha beta", k=10))
+    new = spark.createDataFrame(
+        [(u, "rewrite everything") for u, _ in DOCS],
+        "url string, text string")
+    with pytest.raises(ValueError, match="tombstone_max"):
+        update_docs(spark, didx, new, analyzer=AN, num_partitions=1,
+                    driver_url_max=1, tombstone_max=3)
+    assert load_tombstones(didx) == []
+    idx = SearchIndex(spark, didx, analyzer=AN)
+    assert _got(idx.search("alpha beta", k=10)) == before

@@ -662,15 +662,24 @@ class TestFuzzydictSidecar:
         # (distance 2) — the verify must reject it
         assert "beta" not in idx2.expand_fuzzy("bate") or \
             _ed_ok("bate", "beta")
-        # staleness: an append changes the vocabulary -> sidecar ignored,
-        # scan serves the NEW term
+        # lifecycle: an append changes the vocabulary -> the sidecar is
+        # delta-extended in the SAME op and stays live; the new term is
+        # served from the SymSpell point read, not the scan
         append_index(spark, spark.createDataFrame(
             [("u99", "qqqx content")], "url string, text string"),
             out, analyzer=AN, num_partitions=1)
         idx3 = SearchIndex(spark, out, analyzer=AN)
-        assert idx3._fuzzy_sidecar_candidates("qqqq") is None  # stale
+        assert idx3._fuzzydict_ok
+        assert idx3._fuzzy_sidecar_candidates("qqqq") == ["qqqx"]
         assert idx3.expand_fuzzy("qqqq") == ["qqqx"]
-        # rebuild refreshes it
+        # staleness fallback: a lost manifest (crash mid-extend) demotes
+        # to the always-correct scan; an explicit rebuild restores it
+        import os
+
+        os.remove(os.path.join(out, "_manifests", "fuzzydict.json"))
+        idx3b = SearchIndex(spark, out, analyzer=AN)
+        assert idx3b._fuzzy_sidecar_candidates("qqqq") is None  # stale
+        assert idx3b.expand_fuzzy("qqqq") == ["qqqx"]  # scan, correct
         build_fuzzydict(spark, out)
         idx4 = SearchIndex(spark, out, analyzer=AN)
         assert idx4._fuzzy_sidecar_candidates("qqqq") == ["qqqx"]
@@ -722,18 +731,33 @@ def test_merge_repoints_fuzzydict_and_refresh_sees_rebuild(spark, tmp_path):
     idx1 = SearchIndex(spark, out, analyzer=AN)
     assert idx1._fuzzydict_ok  # NOT false-staled by the layout-only merge
     assert idx1.expand_fuzzy("datun") == ["datum", "datun"]
-    # vocabulary change: stale at the next snapshot; rebuild + refresh
+    # vocabulary change: the append delta-extends the sidecar in the same
+    # op — fresh at the next snapshot, new term served sidecar-side; a
+    # LIVE handle still sees the old snapshot until refresh()
     append_index(spark, spark.createDataFrame(
         [("u98", "qqqz fresh")], "url string, text string"), out,
         analyzer=AN, num_partitions=1)
+    # the pinned old snapshot may read the pre-extend files ([]), fall
+    # back (None), or already see the delta file — never a wrong answer
+    assert idx1._fuzzy_sidecar_candidates("qqqz") in (None, [], ["qqqz"])
     idx2 = SearchIndex(spark, out, analyzer=AN)
-    assert not idx2._fuzzydict_ok
-    assert idx2.expand_fuzzy("qqqz") == ["qqqz"]  # scan fallback, correct
-    build_fuzzydict(spark, out)
-    assert not idx2._fuzzydict_ok  # pinned snapshot
-    idx2.refresh()
     assert idx2._fuzzydict_ok
+    assert idx2.expand_fuzzy("qqqz") == ["qqqz"]
     assert idx2._fuzzy_sidecar_candidates("qqqz") == ["qqqz"]
+    # snapshot semantics: a handle opened while the manifest was removed
+    # (simulated crash mid-extend) pins the stale view; refresh() after a
+    # rebuild restores the sidecar path
+    import os
+
+    os.remove(os.path.join(out, "_manifests", "fuzzydict.json"))
+    idx3 = SearchIndex(spark, out, analyzer=AN)
+    assert not idx3._fuzzydict_ok
+    assert idx3.expand_fuzzy("qqqz") == ["qqqz"]  # scan fallback, correct
+    build_fuzzydict(spark, out)
+    assert not idx3._fuzzydict_ok  # pinned snapshot
+    idx3.refresh()
+    assert idx3._fuzzydict_ok
+    assert idx3._fuzzy_sidecar_candidates("qqqz") == ["qqqz"]
 
 
 def test_suggest_live_df_excludes_deleted(spark, tmp_path):
@@ -751,3 +775,148 @@ def test_suggest_live_df_excludes_deleted(spark, tmp_path):
     # only -> also gone; data survives (u06 deleted but u11 lives)
     terms = [t for t, _ in out2]
     assert "datum" not in terms and "datun" not in terms
+
+
+class TestFuzzydictLifecycle:
+    """Round-5 lifecycle contract: a sidecar built ONCE stays fresh
+    (``_fuzzydict_ok``) across every maintenance op — append (delta-
+    extend), merge (re-point or rebuild), compact (staged rebuild) —
+    so fuzzy/suggest never demote to the O(vocabulary) scan."""
+
+    def test_fresh_across_maintenance_epochs(self, spark, tmp_path):
+        from visigoth_spark.build import (append_index, build_fuzzydict,
+                                          build_index, compact_index,
+                                          merge_appends)
+
+        out = str(tmp_path / "lfidx")
+        build_index(spark, spark.createDataFrame(
+            DOCS[:8], "url string, text string"), out, analyzer=AN,
+            num_partitions=2)
+        build_fuzzydict(spark, out)
+        epochs = []
+
+        def snap(label):
+            idx = SearchIndex(spark, out, analyzer=AN)
+            epochs.append((label, idx._fuzzydict_ok))
+            return idx
+
+        snap("build+sidecar")
+        append_index(spark, spark.createDataFrame(
+            DOCS[8:12], "url string, text string"), out, analyzer=AN,
+            num_partitions=1)
+        snap("append1")
+        append_index(spark, spark.createDataFrame(
+            DOCS[12:], "url string, text string"), out, analyzer=AN,
+            num_partitions=1)
+        snap("append2")
+        merge_appends(spark, out, num_partitions=2)
+        snap("merge")
+        append_index(spark, spark.createDataFrame(
+            [("u90", "novel vocabword here")], "url string, text string"),
+            out, analyzer=AN, num_partitions=1)
+        snap("append3")
+        compact_index(spark, out, num_partitions=2)
+        idx = snap("compact")
+        assert all(ok for _, ok in epochs), epochs
+        # end state serves both old and newly-appended vocabulary from
+        # the sidecar point read, equal to the scan result
+        assert idx._fuzzy_sidecar_candidates("vocabword") == ["vocabword"]
+        assert idx.expand_fuzzy("datun") == ["datum", "datun"]
+
+    def test_merge_rebuilds_stale_sidecar(self, spark, tmp_path):
+        """Appends BEFORE the sidecar existed leave it nonexistent; a
+        sidecar made stale by a lost manifest is rebuilt by the merge."""
+        from visigoth_spark.build import (append_index, build_fuzzydict,
+                                          build_index, merge_appends)
+
+        out = str(tmp_path / "mridx")
+        build_index(spark, spark.createDataFrame(
+            DOCS[:8], "url string, text string"), out, analyzer=AN,
+            num_partitions=2)
+        build_fuzzydict(spark, out)
+        os.remove(os.path.join(out, "_manifests", "fuzzydict.json"))
+        append_index(spark, spark.createDataFrame(
+            [("u91", "qqqy stuff")], "url string, text string"), out,
+            analyzer=AN, num_partitions=1)
+        append_index(spark, spark.createDataFrame(
+            [("u92", "more stuff")], "url string, text string"), out,
+            analyzer=AN, num_partitions=1)
+        assert not SearchIndex(spark, out, analyzer=AN)._fuzzydict_ok
+        merge_appends(spark, out, num_partitions=2)
+        idx = SearchIndex(spark, out, analyzer=AN)
+        assert idx._fuzzydict_ok
+        assert idx._fuzzy_sidecar_candidates("qqqy") == ["qqqy"]
+
+    def test_compact_shrinks_vocabulary(self, spark, tmp_path):
+        """Tombstone every doc holding a term, compact: the term leaves
+        the termdict AND the rebuilt sidecar (sidecar == scan still)."""
+        from visigoth_spark.build import (build_fuzzydict, build_index,
+                                          compact_index, delete_docs)
+
+        out = str(tmp_path / "shidx")
+        build_index(spark, spark.createDataFrame(
+            DOCS, "url string, text string"), out, analyzer=AN,
+            num_partitions=2)
+        build_fuzzydict(spark, out)
+        # 'datun' lives only in u06
+        delete_docs(spark, out, urls=["u06"])
+        compact_index(spark, out, num_partitions=2)
+        idx = SearchIndex(spark, out, analyzer=AN)
+        assert idx._fuzzydict_ok
+        # sidecar candidates must NOT resurrect the purged term, and must
+        # equal the scan fallback's answer
+        assert idx.expand_fuzzy("datun") == ["datum"]
+        cands = idx._fuzzy_sidecar_candidates("datun")
+        assert cands is not None and "datun" not in cands
+
+
+class TestFuzzydictD2:
+    def test_d2_sidecar_equals_scan(self, spark, tmp_path):
+        """SymSpell d=2 sidecar-served expansion ≡ the O(vocab) scan on
+        the fixture vocabulary, for BOTH max_edits=1 and 2; size
+        reported via the build return value."""
+        from visigoth_spark.build import build_fuzzydict, build_index
+
+        out = str(tmp_path / "d2idx")
+        build_index(spark, spark.createDataFrame(
+            DOCS, "url string, text string"), out, analyzer=AN,
+            num_partitions=2)
+        idx_scan = SearchIndex(spark, out, analyzer=AN)
+        probes = ("datum", "datun", "data", "alpha", "alhpa", "prefib",
+                  "gamm", "zzta", "qq", "presto")
+        want = {d: {t: idx_scan.expand_fuzzy(t, max_edits=d)
+                    for t in probes} for d in (1, 2)}
+        n1 = build_fuzzydict(spark, out, max_edits=1)
+        idx1 = SearchIndex(spark, out, analyzer=AN)
+        assert idx1._fuzzydict_d == 1
+        # d=1 served by sidecar; d=2 exceeds it -> scan fallback (None)
+        assert idx1._fuzzy_sidecar_candidates("datum", 2) is None
+        for t in probes:
+            assert idx1.expand_fuzzy(t, max_edits=1) == want[1][t], t
+            assert idx1.expand_fuzzy(t, max_edits=2) == want[2][t], t
+        n2 = build_fuzzydict(spark, out, max_edits=2)
+        assert n2 > n1  # d=2 neighborhood strictly larger
+        idx2 = SearchIndex(spark, out, analyzer=AN)
+        assert idx2._fuzzydict_d == 2
+        for t in probes:
+            # both distances now sidecar-served and scan-identical
+            for d in (1, 2):
+                assert idx2.expand_fuzzy(t, max_edits=d) == want[d][t], (
+                    t, d)
+        # the d=2 point read is live (not silently falling back)
+        assert idx2._fuzzy_sidecar_candidates("datum", 2) is not None
+        with pytest.raises(ValueError, match="max_edits"):
+            build_fuzzydict(spark, out, max_edits=3)
+
+    def test_d2_suggest_uses_sidecar(self, spark, tmp_path):
+        from visigoth_spark.build import build_fuzzydict, build_index
+
+        out = str(tmp_path / "d2sg")
+        build_index(spark, spark.createDataFrame(
+            DOCS, "url string, text string"), out, analyzer=AN,
+            num_partitions=2)
+        build_fuzzydict(spark, out, max_edits=2)
+        idx = SearchIndex(spark, out, analyzer=AN)
+        got = idx.suggest("datxy", max_edits=2)
+        terms = [t for t, _ in got]
+        assert "datum" in terms and "data" in terms

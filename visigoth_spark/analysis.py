@@ -223,6 +223,81 @@ def highlight_spans(raw: str, terms: set[str] | frozenset[str],
     return out
 
 
+def phrase_highlight_spans(raw: str, query_tokens: list[str], slop: int = 0,
+                           cfg: AnalyzerConfig = DEFAULT_ANALYZER
+                           ) -> list[dict]:
+    """Character spans of the MATCHED phrase windows only — the
+    positions-aware highlighter for ``engine='phrase'``. Where
+    ``highlight_spans`` marks every occurrence of every query term, this
+    marks exactly the token occurrences that participate in a qualifying
+    chain, mirroring the positional kernel's semantics
+    (query._phrase_body): with ``slop=0`` a window is a full adjacency
+    chain (token j at start+j over the ANALYZED sequence); with
+    ``slop=s`` it is the greedy-earliest in-order chain from each
+    occurrence of the first token whose total span fits
+    ``len(tokens)+s`` — the same greedy walk the kernel counts, so the
+    number of distinct windows equals the doc's phrase tf. Returns
+    [{'term', 'start', 'end', 'window'}, ...] in (window, position)
+    order; ``window`` numbers the chains in start order.
+
+    Cost model: like ``highlight_spans``, driver-side on the hydrated
+    top-k rows only (<= k docs x len(raw) regex work) — never part of
+    the distributed plan. Token offsets come from re-locating the
+    keep-pattern on the RAW string; the chain positions are recomputed
+    over the surviving (analyzed-nonempty) tokens, which is exactly the
+    position space the index stores, so the highlighted windows are the
+    windows the kernel matched."""
+    if not raw or not query_tokens:
+        return []
+    memo: dict[str, str | None] = {}
+    seq: list[str] = []          # analyzed token sequence (index positions)
+    spans: list[tuple[int, int]] = []  # raw char span per analyzed position
+    for m in cfg.token_re.finditer(raw):
+        tok = m.group(0)
+        if tok not in memo:
+            analyzed = analyze_text(tok, cfg)
+            memo[tok] = analyzed[0] if analyzed else None
+        a = memo[tok]
+        if a is not None:
+            seq.append(a)
+            spans.append((m.start(), m.end()))
+    n, mlen = len(seq), len(query_tokens)
+    if n < mlen:
+        return []
+    occ: dict[str, list[int]] = {}
+    for t in set(query_tokens):
+        occ[t] = [i for i, a in enumerate(seq) if a == t]
+    chains: list[list[int]] = []
+    if slop == 0:
+        for p0 in occ.get(query_tokens[0], []):
+            if p0 + mlen <= n and all(
+                seq[p0 + j] == query_tokens[j] for j in range(1, mlen)
+            ):
+                chains.append(list(range(p0, p0 + mlen)))
+    else:
+        import bisect
+
+        for p0 in occ.get(query_tokens[0], []):
+            chain, cur = [p0], p0
+            for tok in query_tokens[1:]:
+                ps = occ[tok]
+                i = bisect.bisect_right(ps, cur)
+                if i >= len(ps):
+                    chain = None
+                    break
+                cur = ps[i]
+                chain.append(cur)
+            if chain is not None and chain[-1] - p0 <= mlen - 1 + slop:
+                chains.append(chain)
+    out: list[dict] = []
+    for w, chain in enumerate(chains):
+        for j, p in enumerate(chain):
+            s, e = spans[p]
+            out.append({"term": query_tokens[j], "start": s, "end": e,
+                        "window": w})
+    return out
+
+
 # ---------------------------------------------------------------------------
 # HTML -> text extraction (corpus ingestion; input_hint invariant:
 # byte-identical extracted text per url vs the oracle extractor).

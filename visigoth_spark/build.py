@@ -1133,6 +1133,11 @@ def append_index(
         _write_manifest(td_man_path, kind="termdict", mode=td_mode,
                         covers_md5=post_key, covers_n=len(visible),
                         wall_sec=time.time() - t0)
+        # fuzzydict lifecycle: a fresh sidecar stays fresh across the
+        # append (delta-extended with the batch's terms); absent/stale
+        # sidecars cost one manifest existence check and nothing else
+        _fuzzydict_extend(spark, store, out_dir, batch_path,
+                          pre_key, post_key)
 
         # stats: RECOMPUTED from the VISIBLE committed manifests (idempotent
         # under replay — a re-run of the same pinned batch converges, never
@@ -1362,6 +1367,12 @@ def merge_appends(
                 if fd_man.get("covers_md5") == _covers_key(pre_visible):
                     fd_man["covers_md5"] = _covers_key(vis_ids)
                     store.write_json_atomic(fd_man_path, fd_man)
+    # fuzzydict lifecycle: a sidecar the re-point above could NOT keep
+    # fresh (it was already stale, e.g. appends ran before the sidecar
+    # existed or a crash dropped its manifest) is rebuilt here from the
+    # post-merge termdict, under the merge's writer lock — maintenance
+    # never demotes fuzzy/suggest to the O(vocabulary) scan
+    _fuzzydict_refresh_if_stale(spark, store, index_dir)
     # stats: recomputed from the visible manifests (same rule as append)
     stats["n_docs"] = max(m.get("docid_range", [0, 0])[1]
                           for m in vis_after)
@@ -1474,50 +1485,45 @@ def delete_docs(spark: SparkSession, index_dir: str,
     return len(new)
 
 
-@_locked("fuzzydict", dir_arg=1)
-def build_fuzzydict(spark: SparkSession, index_dir: str,
-                    num_files: int = 4) -> int:
-    """SymSpell-style deletion-neighborhood sidecar for fuzzy expansion:
-    one (variant, term) row for every vocabulary term and each of its
-    1-deletion strings, variant-range partitioned + variant-sorted. Two
-    terms are within Levenshtein 1 iff their deletion neighborhoods
-    intersect (incl. the terms themselves), so a fuzzy lookup becomes a
-    row-group-pruned point read of <= len(term)+1 variant keys instead of
-    the O(vocabulary) scan — the public SymSpell design (Garbe), which is
-    the scale path `expand_fuzzy` documents.
+def _deletion_variants(term_col, max_edits: int):
+    """Array column: the term itself plus every string reachable by
+    deleting up to ``max_edits`` characters (the SymSpell deletion
+    neighborhood), deduplicated — pure Catalyst, no Python in the row
+    path. ``max_edits=2`` builds the 2-deletion neighborhood as the
+    1-deletions of the 1-deletions."""
+    def del1(col):
+        return F.transform(
+            F.sequence(F.lit(1), F.length(col)),
+            lambda i: F.concat(
+                col.substr(F.lit(1), i - 1),
+                col.substr(i + 1, F.length(col)),
+            ),
+        )
 
-    Freshness contract: the sidecar records the termdict manifest's
-    covers key; `expand_fuzzy` uses it ONLY while that key still matches
-    the live termdict (append/merge/compact change the vocabulary), and
-    silently falls back to the always-correct vocab scan otherwise —
-    re-run this op with the other maintenance ops. Returns the variant
-    row count."""
-    import visigoth_spark
+    d1 = del1(term_col)
+    out = F.array_union(F.array(term_col), d1)
+    if max_edits >= 2:
+        out = F.array_union(out, F.flatten(F.transform(d1, del1)))
+    return F.array_distinct(out)
 
-    visigoth_spark.ensure_shipped(spark)
-    store = vstore.get_store(index_dir, spark)
-    td_path = os.path.join(index_dir, "termdict")
-    if not store.isdir(td_path):
-        raise ValueError("index has no termdict — build the index first")
-    td_man = os.path.join(index_dir, "_manifests", "termdict.json")
-    covers = (store.read_json(td_man).get("covers_md5")
-              if store.exists(td_man) else None)
+
+def _fuzzydict_rebuild(spark: SparkSession, store, root: str,
+                       num_files: int, max_edits: int, covers) -> None:
+    """(Re)build the sidecar under ``root`` from ``root``'s termdict —
+    atomic tmp+swap, manifest-gated (the manifest is REMOVED before any
+    directory mutation and re-written only after the swap completes; on
+    object stores rename is copy+delete, so readers in the window fail
+    the freshness check and take the always-correct scan fallback).
+    Shared by the public ``build_fuzzydict`` and the maintenance ops'
+    lifecycle hooks (which already hold the writer lock)."""
+    td_path = os.path.join(root, "termdict")
     terms = spark.read.parquet(td_path).select("term")
-    # variants = the term itself + every 1-deletion string (pure Catalyst)
-    deletions = F.transform(
-        F.sequence(F.lit(1), F.length("term")),
-        lambda i: F.concat(
-            F.col("term").substr(F.lit(1), i - 1),
-            F.col("term").substr(i + 1, F.length("term")),
-        ),
-    )
     rows = terms.select(
-        F.explode(
-            F.array_union(F.array(F.col("term")), deletions)
-        ).alias("variant"),
+        F.explode(_deletion_variants(F.col("term"), max_edits))
+        .alias("variant"),
         "term",
     )
-    tmp = os.path.join(index_dir, "_fuzzydict_tmp")
+    tmp = os.path.join(root, "_fuzzydict_tmp")
     store.rmtree(tmp)
     (
         rows.repartitionByRange(num_files, "variant")
@@ -1526,25 +1532,138 @@ def build_fuzzydict(spark: SparkSession, index_dir: str,
         .option("parquet.block.size", str(1 << 20))
         .parquet(tmp)
     )
-    final = os.path.join(index_dir, "fuzzydict")
-    man_path = os.path.join(index_dir, "_manifests", "fuzzydict.json")
-    # manifest-gated visibility: REMOVE the manifest before touching the
-    # directory, re-write it only after the swap completes. On object
-    # stores rename is copy+delete, so a pure refresh (covers unchanged)
-    # would otherwise expose a half-copied sidecar under a still-valid
-    # manifest; with the gate, readers in the window fail the freshness
-    # check and take the always-correct scan fallback.
+    final = os.path.join(root, "fuzzydict")
+    man_path = os.path.join(root, "_manifests", "fuzzydict.json")
     with contextlib.suppress(FileNotFoundError):
         store.remove(man_path)
     store.rmtree(final)
     store.rename(tmp, final)
-    _write_manifest(man_path, kind="fuzzydict", covers_md5=covers)
-    return spark.read.parquet(final).count()
+    _write_manifest(man_path, kind="fuzzydict", covers_md5=covers,
+                    max_edits=max_edits, num_files=num_files)
+
+
+def _fuzzydict_extend(spark: SparkSession, store, index_dir: str,
+                      batch_path: str, pre_key: str, post_key: str) -> None:
+    """Keep a FRESH sidecar fresh across an append by delta-extending it
+    with the new batch's (distinct) terms' deletion variants — O(batch
+    vocabulary) work, not O(total vocabulary). Rows for terms the sidecar
+    already covers are harmless duplicates (readers dedup candidates);
+    the next merge/compact rebuilds the sidecar and squashes them. A
+    sidecar that is absent, or already stale w.r.t. the pre-append batch
+    set, is left alone (the merge/compact hooks rebuild it). Manifest-
+    gated like the rebuild: a crash mid-extend leaves no manifest, which
+    reads as stale — never as wrong candidates."""
+    man_path = os.path.join(index_dir, "_manifests", "fuzzydict.json")
+    if not store.exists(man_path):
+        return
+    man = store.read_json(man_path)
+    if man.get("covers_md5") != pre_key:
+        return  # already stale — nothing to keep fresh
+    fd_dir = os.path.join(index_dir, "fuzzydict")
+    if not store.isdir(fd_dir):
+        return
+    max_edits = int(man.get("max_edits", 1))
+    with contextlib.suppress(FileNotFoundError):
+        store.remove(man_path)
+    terms = (
+        spark.read.parquet(batch_path)
+        .filter(F.col("kind") == "s")
+        .select("term").distinct()
+    )
+    (
+        terms.select(
+            F.explode(_deletion_variants(F.col("term"), max_edits))
+            .alias("variant"),
+            "term",
+        )
+        .coalesce(1)
+        .sortWithinPartitions("variant", "term")
+        .write.mode("append")
+        .option("parquet.block.size", str(1 << 20))
+        .parquet(fd_dir)
+    )
+    _write_manifest(man_path, kind="fuzzydict", covers_md5=post_key,
+                    max_edits=max_edits,
+                    num_files=int(man.get("num_files", 4)), mode="delta")
+
+
+def _fuzzydict_refresh_if_stale(spark: SparkSession, store,
+                                index_dir: str) -> None:
+    """Post-merge/compact hook: if a sidecar EXISTS but no longer matches
+    the live termdict covers key, rebuild it from the (fresh) termdict
+    under the caller's writer lock — the lifecycle integration that keeps
+    ``expand_fuzzy``/``suggest`` on the O(keys) SymSpell path across
+    maintenance instead of demoting to the O(vocabulary) scan. No-ops
+    when no sidecar was ever built, or when it is already fresh (the
+    cheap re-point paths)."""
+    fd_dir = os.path.join(index_dir, "fuzzydict")
+    man_path = os.path.join(index_dir, "_manifests", "fuzzydict.json")
+    had_dir = store.isdir(fd_dir)
+    had_man = store.exists(man_path)
+    if not (had_dir or had_man):
+        return
+    td_man = os.path.join(index_dir, "_manifests", "termdict.json")
+    if not store.exists(td_man):
+        return  # no provably-fresh vocabulary to rebuild from
+    covers = store.read_json(td_man).get("covers_md5")
+    man = store.read_json(man_path) if had_man else {}
+    if had_dir and man.get("covers_md5") == covers:
+        return  # fresh already
+    _fuzzydict_rebuild(spark, store, index_dir,
+                       num_files=int(man.get("num_files", 4)),
+                       max_edits=int(man.get("max_edits", 1)),
+                       covers=covers)
+
+
+@_locked("fuzzydict", dir_arg=1)
+def build_fuzzydict(spark: SparkSession, index_dir: str,
+                    num_files: int = 4, max_edits: int = 1) -> int:
+    """SymSpell-style deletion-neighborhood sidecar for fuzzy expansion:
+    one (variant, term) row for every vocabulary term and each of its
+    up-to-``max_edits``-deletion strings, variant-range partitioned +
+    variant-sorted. Two terms are within Levenshtein distance d iff their
+    d-deletion neighborhoods intersect (incl. the terms themselves), so a
+    fuzzy lookup becomes a row-group-pruned point read of the query's
+    deletion-neighborhood keys instead of the O(vocabulary) scan — the
+    public SymSpell design (Garbe), which is the scale path
+    ``expand_fuzzy`` documents. ``max_edits=2`` serves both d=1 and d=2
+    lookups (a 1-deletion neighborhood is a subset of the stored
+    2-deletion one; extra candidates die at the exact verify) at
+    O(len^2) variants per term.
+
+    Lifecycle: the sidecar records the termdict manifest's covers key;
+    ``expand_fuzzy`` uses it ONLY while that key still matches the live
+    termdict and silently falls back to the always-correct vocab scan
+    otherwise. The maintenance ops keep it fresh automatically —
+    ``append_index`` delta-extends it with the batch's terms,
+    ``merge_appends`` re-points (vocabulary unchanged) or rebuilds, and
+    ``compact_index`` rebuilds it in the staged layout (the vocabulary
+    can SHRINK there: tombstone purge drops fully-deleted terms) — so
+    one explicit build keeps the O(keys) path live for the index's
+    lifetime. Returns the variant row count."""
+    import visigoth_spark
+
+    visigoth_spark.ensure_shipped(spark)
+    if max_edits not in (1, 2):
+        raise ValueError("max_edits must be 1 or 2")
+    store = vstore.get_store(index_dir, spark)
+    td_path = os.path.join(index_dir, "termdict")
+    if not store.isdir(td_path):
+        raise ValueError("index has no termdict — build the index first")
+    td_man = os.path.join(index_dir, "_manifests", "termdict.json")
+    covers = (store.read_json(td_man).get("covers_md5")
+              if store.exists(td_man) else None)
+    _fuzzydict_rebuild(spark, store, index_dir, num_files, max_edits,
+                       covers)
+    return spark.read.parquet(
+        os.path.join(index_dir, "fuzzydict")).count()
 
 
 def update_docs(spark: SparkSession, index_dir: str, corpus: DataFrame,
                 analyzer: AnalyzerConfig = DEFAULT_ANALYZER,
                 num_partitions: int | None = None,
+                driver_url_max: int = 100_000,
+                tombstone_max: int = 2_000_000,
                 **append_kwargs) -> int:
     """Replace-by-url: tombstone the index's CURRENT docs for ``corpus``'s
     urls (``delete_docs``), then append ``corpus`` as new docs
@@ -1555,26 +1674,56 @@ def update_docs(spark: SparkSession, index_dir: str, corpus: DataFrame,
     them leaves the urls tombstoned but not yet re-added — retrying the
     SAME update converges only if the append hadn't committed (use the
     streaming path's pinned-epoch idempotence for exactly-once pipelines).
-    The url list is collected to the driver (update batches are small by
-    nature; bulk rewrites should use build/compact)."""
-    urls = [r["url"] for r in corpus.select("url").distinct().collect()]
-    # replaced = DISTINCT urls currently visible (a url ingested twice
-    # counts once; an already-tombstoned url counts zero — it no longer
-    # "exists"); the delete itself tombstones by docid set
+
+    Scale guard: batches of up to ``driver_url_max`` distinct urls take
+    the point path (url IN-list pruned docmap scan). Bigger batches
+    switch to a join-based matching plan — the corpus's distinct urls
+    join the docmap executor-side, so neither the url list nor its plan
+    literals ever materialize on the driver. The matched-docid count is
+    still bounded by ``tombstone_max`` with a LOUD error: tombstones are
+    a driver/manifest-resident set by design (query.py masks them into
+    every kernel), so a rewrite touching more live docs than that must go
+    through ``build_index``/``compact_index`` instead of pretending to be
+    an update."""
+    # one count decides the matching plan; distinct() also makes the
+    # "replaced" accounting url-unique by construction
+    urls_df = corpus.select("url").distinct()
+    n_urls = urls_df.count()
     replaced = 0
-    if urls:
+    if n_urls:
         vis = [m["batch"] for m in _visible_batches(index_dir)]
         data_root = os.path.join(index_dir, "data")
-        data = spark.read.option("basePath", data_root).parquet(data_root)
-        rows = (
-            data.filter(F.col("kind") == "d")
+        docmap = (
+            spark.read.option("basePath", data_root).parquet(data_root)
+            .filter(F.col("kind") == "d")
             .filter(F.col("batch").isin(vis))
-            .filter(F.col("url").isin(urls))
-            .select("url", "docid").collect()
         )
+        if n_urls <= driver_url_max:
+            # point path: IN-list filter prunes docmap files/row-groups
+            urls = [r["url"] for r in urls_df.collect()]
+            rows = (docmap.filter(F.col("url").isin(urls))
+                    .select("url", "docid").collect())
+        else:
+            # join path: urls stay distributed; only the MATCHED (url,
+            # docid) pairs come back, after the tombstone_max count gate
+            matched = docmap.join(urls_df, "url").select("url", "docid")
+            n_matched = matched.count()
+            if n_matched > tombstone_max:
+                raise ValueError(
+                    f"update_docs matched {n_matched:,} existing docs — "
+                    f"above tombstone_max={tombstone_max:,}. A rewrite "
+                    "this size must not run through the tombstone path "
+                    "(the docid set is driver/manifest-resident): rebuild "
+                    "with build_index, or update in bounded batches and "
+                    "compact_index between them."
+                )
+            rows = matched.collect()
         live = set(load_tombstones(index_dir))
         found = [(r["url"], int(r["docid"])) for r in rows
                  if int(r["docid"]) not in live]
+        # replaced = DISTINCT urls currently visible (a url ingested twice
+        # counts once; an already-tombstoned url counts zero — it no
+        # longer "exists"); the delete itself tombstones by docid set
         replaced = len({u for u, _ in found})
         if found:
             delete_docs(spark, index_dir, docids=[d for _, d in found])
@@ -1925,14 +2074,30 @@ def compact_index(
             # would immortalize it in every compacted index.
             # tombstones: PURGED physically above — carrying the old
             # docids over would mask freshly-remapped docs that reuse them.
+            # fuzzydict: regenerated below when a sidecar exists (the
+            # vocabulary can SHRINK across a compaction — tombstone purge
+            # drops fully-deleted terms — so a re-point is not enough).
             fname in ("termdict.json", "segfiles.json", "docfiles.json",
-                      TOMBSTONES_FILE)
+                      "fuzzydict.json", TOMBSTONES_FILE)
         ):
             continue
         stage_store.write_atomic(
             os.path.join(manifest_dir, fname),
             store.read_bytes(os.path.join(old_manifest_dir, fname)),
         )
+    # fuzzydict lifecycle: an index that had a sidecar gets a fresh one in
+    # the staged layout, rebuilt from the staged termdict with the old
+    # sidecar's settings (writer lock already held by this op)
+    old_fd_man = os.path.join(old_manifest_dir, "fuzzydict.json")
+    had_fuzzydict = (store.exists(old_fd_man)
+                     or store.isdir(os.path.join(index_dir, "fuzzydict")))
+    if had_fuzzydict:
+        fd_prev = (store.read_json(old_fd_man)
+                   if store.exists(old_fd_man) else {})
+        _fuzzydict_rebuild(spark, stage_store, stage,
+                           num_files=int(fd_prev.get("num_files", 4)),
+                           max_edits=int(fd_prev.get("max_edits", 1)),
+                           covers=_covers_key([0]))
     new_stats = dict(stats)
     new_stats.update(
         n_docs=n_docs,
@@ -1963,13 +2128,20 @@ def compact_index(
         if store.exists(pre):
             store.rmtree(pre)
         store.makedirs(pre)
-        pieces = _COMPACT_PIECES
+        # fuzzydict is an OPTIONAL piece: swapped when (re)built above,
+        # tolerated absent on either side (e.g. first compaction of an
+        # index whose sidecar dir was manually removed)
+        pieces = _COMPACT_PIECES + (("fuzzydict",) if had_fuzzydict
+                                    else ())
         for name in pieces:
-            store.rename(os.path.join(index_dir, name),
-                         os.path.join(pre, name))
+            old_piece = os.path.join(index_dir, name)
+            if store.exists(old_piece):
+                store.rename(old_piece, os.path.join(pre, name))
         for name in pieces:
-            store.rename(os.path.join(stage, name),
-                         os.path.join(index_dir, name))
+            staged_piece = os.path.join(stage, name)
+            if store.exists(staged_piece):
+                store.rename(staged_piece,
+                             os.path.join(index_dir, name))
         store.rmtree(pre)
         store.rmtree(stage)
 
@@ -2021,7 +2193,7 @@ def _recover_pre_compact(store, index_dir: str) -> None:
         store.rmtree(pre)
         store.rmtree(vstore.join(index_dir, "_compact_tmp"))
         return
-    for name in _COMPACT_PIECES:
+    for name in _COMPACT_PIECES + ("fuzzydict",):  # fuzzydict: optional
         src = vstore.join(pre, name)
         if store.exists(src):
             dst = vstore.join(index_dir, name)

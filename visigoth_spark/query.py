@@ -38,7 +38,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from visigoth_spark.analysis import (AnalyzerConfig, DEFAULT_ANALYZER,
-                                     analyze_text, highlight_spans)
+                                     analyze_text, highlight_spans,
+                                     phrase_highlight_spans)
 from visigoth_spark.build import _visible_batches, load_stats
 from visigoth_spark import storage as vstore
 from visigoth_spark.codec import (
@@ -376,16 +377,21 @@ class SearchIndex:
         # per token AND poisoned the dataset-handle cache when the sidecar
         # files were swapped underneath a live reader)
         self._fuzzydict_ok = False
+        self._fuzzydict_d = 0  # max edit distance the sidecar serves
         fd_man = os.path.join(index_dir, "_manifests", "fuzzydict.json")
         td_man = os.path.join(index_dir, "_manifests", "termdict.json")
         try:
             if self._store.exists(fd_man) and self._store.exists(td_man):
+                fdj = self._store.read_json(fd_man)
                 self._fuzzydict_ok = (
-                    self._store.read_json(fd_man).get("covers_md5")
+                    fdj.get("covers_md5")
                     == self._store.read_json(td_man).get("covers_md5")
                 )
+                if self._fuzzydict_ok:
+                    self._fuzzydict_d = int(fdj.get("max_edits", 1))
         except Exception:
             self._fuzzydict_ok = False
+            self._fuzzydict_d = 0
 
     # above this size, ship the tombstone set to executors ONCE (Spark
     # broadcast) instead of with every task's kernel closure
@@ -821,20 +827,25 @@ class SearchIndex:
                         key=lambda t: (-dfs[t], t))
         return [(t, dfs[t]) for t in ranked[:k]]
 
-    def _fuzzy_sidecar_candidates(self, term: str) -> list[str] | None:
-        """Distance-1 candidates via the SymSpell deletion-neighborhood
-        sidecar (``build.build_fuzzydict``) — a point read of
-        <= len(term)+1 variant keys instead of a vocabulary scan. None
-        when the sidecar is absent or STALE (its recorded termdict covers
-        key no longer matches the live termdict) — the caller falls back
-        to the always-correct scan. Candidates still get the exact
-        edit-distance verify (variant intersection admits transpositions,
-        which are distance 2)."""
+    def _fuzzy_sidecar_candidates(self, term: str, max_edits: int = 1
+                                  ) -> list[str] | None:
+        """Distance-``max_edits`` candidates via the SymSpell deletion-
+        neighborhood sidecar (``build.build_fuzzydict``) — a point read
+        of the query term's deletion-neighborhood keys (len+1 for d=1,
+        O(len^2) for d=2) instead of a vocabulary scan. None when the
+        sidecar is absent, STALE (its recorded termdict covers key no
+        longer matches the live termdict), or built with a smaller
+        ``max_edits`` than asked — the caller falls back to the
+        always-correct scan. Candidates still get the exact edit-distance
+        verify (deletion-neighborhood intersection over-admits, e.g. a
+        d=1 lookup's variant intersection admits transpositions, which
+        are distance 2)."""
         try:
             if not self._fuzzydict_ok:  # absent/stale AT THIS SNAPSHOT
                 return None
-            keys = sorted({term} | {term[:i] + term[i + 1:]
-                           for i in range(len(term))})
+            if max_edits > self._fuzzydict_d:
+                return None  # sidecar stores a smaller neighborhood
+            keys = _deletion_neighborhood(term, max_edits)
             if self._local_root is not None:
                 local = os.path.join(self._local_root, "fuzzydict")
                 if not os.path.isdir(local):
@@ -860,20 +871,21 @@ class SearchIndex:
     def expand_fuzzy(self, term: str, max_edits: int = 1,
                      max_terms: int = 1024) -> list[str]:
         """Vocabulary terms within Levenshtein distance ``max_edits`` of
-        ``term`` (analyzed form). For ``max_edits=1`` with a FRESH
-        ``fuzzydict`` sidecar (build.build_fuzzydict), candidates come
-        from a SymSpell deletion-neighborhood point read; otherwise one
-        termdict column scan filtered to |len-len(term)| <= max_edits
-        Arrow-side, then an early-exit banded edit-distance check on the
-        (small) survivor set — O(vocab) worst case, documented honestly
-        (a Levenshtein automaton over an FST is the other public upgrade
-        path)."""
+        ``term`` (analyzed form). With a FRESH ``fuzzydict`` sidecar
+        (build.build_fuzzydict) whose stored neighborhood covers
+        ``max_edits``, candidates come from a SymSpell deletion-
+        neighborhood point read; otherwise one termdict column scan
+        filtered to |len-len(term)| <= max_edits Arrow-side, then an
+        early-exit banded edit-distance check on the (small) survivor
+        set — O(vocab) worst case, documented honestly (a Levenshtein
+        automaton over an FST is the other public upgrade path)."""
         if not term:
             return []
-        if max_edits == 1:
-            cands = self._fuzzy_sidecar_candidates(term)
+        if max_edits <= 2:
+            cands = self._fuzzy_sidecar_candidates(term, max_edits)
             if cands is not None:
-                out = [t for t in cands if _edit_distance_le(term, t, 1)]
+                out = [t for t in cands
+                       if _edit_distance_le(term, t, max_edits)]
                 return sorted(out)[:max_terms]
         terms = self._vocab_range("", None)
         if terms is None:
@@ -1402,13 +1414,22 @@ class SearchIndex:
             # drop the boundary-tie over-fetch now that urls decided it
             out_pd = out_pd.head(k)
         if highlight:
-            hl_terms = frozenset(terms)
             out_pd = out_pd.copy()
-            out_pd["matches"] = [
-                json.dumps(highlight_spans(r or "", hl_terms,
-                                           self.analyzer))
-                for r in out_pd["raw"]
-            ]
+            if engine == "phrase":
+                # positions-aware: spans = the matched chain windows the
+                # kernel counted, not every term occurrence
+                out_pd["matches"] = [
+                    json.dumps(phrase_highlight_spans(
+                        r or "", tokens, slop, self.analyzer))
+                    for r in out_pd["raw"]
+                ]
+            else:
+                hl_terms = frozenset(terms)
+                out_pd["matches"] = [
+                    json.dumps(highlight_spans(r or "", hl_terms,
+                                               self.analyzer))
+                    for r in out_pd["raw"]
+                ]
             schema += ", matches string"
         return self.spark.createDataFrame(out_pd, schema)
 
@@ -1833,6 +1854,20 @@ def _decode_term_segments_pos(pdf: pd.DataFrame, term: str):
         np.concatenate(dls) if dls else z.copy(),
         np.concatenate(pos) if pos else z.copy(),
     )
+
+
+def _deletion_neighborhood(term: str, d: int) -> list[str]:
+    """The term plus every string reachable by deleting up to ``d``
+    characters — the query-side SymSpell keys (the driver twin of
+    build._deletion_variants). Sorted for a monotone sidecar point
+    read."""
+    out = {term}
+    frontier = {term}
+    for _ in range(d):
+        nxt = {t[:i] + t[i + 1:] for t in frontier for i in range(len(t))}
+        frontier = nxt - out
+        out |= nxt
+    return sorted(out)
 
 
 def _edit_distance_le(a: str, b: str, k: int) -> bool:
