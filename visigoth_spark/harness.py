@@ -1398,6 +1398,63 @@ FROM documents d JOIN tl ON d.doc_id = tl.doc_id
 """
 
 
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-BPE token counting under the frozen merge table
+    (visigoth_spark/bpe_merges.txt). Pure Catalyst: the merge fold runs on
+    the distinct-token table only (see pipeline.token_counts_bpe)."""
+    return P.token_counts_bpe(_docs(spark, sf_dir))
+
+
+def _sql_token_count_bpe() -> str:
+    """DuckDB oracle: the SAME frozen merges applied by a recursive CTE —
+    state(r) = replace(state(r-1), pat_r, rep_r) over the delimited
+    spelling, depth = len(merges). replace() in DuckDB is the identical
+    leftmost non-overlapping scan as Spark F.replace (bpe.py docstring),
+    so the fixed points agree byte-for-byte."""
+    from visigoth_spark.bpe import load_merges
+
+    merges = load_merges()
+
+    def lit(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    rows = ",\n        ".join(
+        f"({i + 1}, {lit(f'<{a}><{b}>')}, {lit(f'<{a}{b}>')})"
+        for i, (a, b) in enumerate(merges)
+    )
+    return f"""
+WITH RECURSIVE {SQL_TOKLIST},
+ex AS (SELECT doc_id, unnest(l) AS tok FROM tl),
+vocab AS (SELECT DISTINCT tok FROM ex),
+merges(r, pat, rep) AS (VALUES
+        {rows}
+),
+bpe(tok, state, r) AS (
+    SELECT tok, regexp_replace(tok, '(.)', '<\\1>', 'g'), 0 FROM vocab
+    UNION ALL
+    SELECT b.tok, replace(b.state, m.pat, m.rep), b.r + 1
+    FROM bpe b JOIN merges m ON m.r = b.r + 1
+),
+vb AS (
+    SELECT tok,
+           len(state) - len(replace(state, '<', '')) AS n_bpe
+    FROM bpe WHERE r = {len(merges)}
+),
+per_doc AS (
+    SELECT ex.doc_id, COUNT(*) AS alnum, SUM(vb.n_bpe) AS bpe
+    FROM ex JOIN vb ON ex.tok = vb.tok
+    GROUP BY ex.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.alnum, 0) AS BIGINT) AS alnum_tokens,
+       CAST(COALESCE(p.bpe, 0) AS BIGINT) AS bpe_tokens
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+"""
+
+
+SQL_TOKEN_COUNT_BPE = _sql_token_count_bpe()
+
+
 def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.quality_repetition(_docs(spark, sf_dir))
 
@@ -1863,6 +1920,7 @@ QUERIES = {
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
     "token_count": q_token_count,
+    "token_count_bpe": q_token_count_bpe,
     "quality_repetition": q_quality_repetition,
     "domain_stats": q_domain_stats,
     "collocations": q_collocations,
@@ -1907,6 +1965,7 @@ ORACLES = {
     "lang_id": SQL_LANG_ID,
     "quality_score": SQL_QUALITY,
     "token_count": SQL_TOKEN_COUNT,
+    "token_count_bpe": SQL_TOKEN_COUNT_BPE,
     "quality_repetition": SQL_QUALITY_REPETITION,
     "domain_stats": SQL_DOMAIN_STATS,
     "collocations": SQL_COLLOCATIONS,

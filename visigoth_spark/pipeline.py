@@ -729,6 +729,72 @@ def token_counts(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def bpe_count_col(tok: Column, merges: list[tuple[str, str]]) -> Column:
+    """Number of BPE tokens for one analyzed token under a FROZEN merge
+    table (visigoth_spark/bpe.py semantics), as a pure Catalyst column:
+    spell the token as delimited symbols ``<h><o><l><a>`` then fold the
+    merges in rank order, each one plain replace-all of ``<a><b>`` ->
+    ``<ab>`` (F.aggregate over a literal struct array — a runtime loop,
+    not an unrolled expression tree). The symbol count is the ``<`` count
+    of the fixed point. Identical semantics to Python str.replace and
+    DuckDB replace, which is what keeps the DuckDB oracle exact."""
+    spelled = F.regexp_replace(tok, "(.)", "<$1>")
+    merge_arr = F.array(*[
+        F.struct(F.lit(f"<{a}><{b}>").alias("pat"),
+                 F.lit(f"<{a}{b}>").alias("rep"))
+        for a, b in merges
+    ])
+    final = F.aggregate(
+        merge_arr, spelled, lambda acc, m: F.replace(acc, m.pat, m.rep)
+    )
+    return (
+        F.length(final) - F.length(F.replace(final, F.lit("<"), F.lit("")))
+    ).cast("long")
+
+
+def token_counts_bpe(df: DataFrame, merges: list[tuple[str, str]]
+                     | None = None, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """(id, alnum_tokens, bpe_tokens): analyzed-token count and REAL
+    byte-pair-encoding token count under the frozen merge table
+    (``bpe_merges.txt``, trained by tools/train_bpe.py) — the honest
+    upgrade of ``token_counts``'s bpe_ish proxy (round-4 verdict task 6).
+
+    Plan shape (100 TB): the merge fold runs once per DISTINCT token (the
+    vocabulary — groupBy dedup with map-side partials), never per corpus
+    token; per-token counts then join back to the exploded corpus on the
+    token key and sum per doc. Vocabulary ≪ corpus, so the expensive
+    200-replace fold touches ~10^8 rows while the corpus is 10^12; the
+    join is key-partitioned (AQE picks broadcast when the vocab fits).
+    Docs with zero tokens are preserved via the left join from ``df``."""
+    from visigoth_spark.bpe import load_merges
+
+    if merges is None:
+        merges = load_merges()
+    toks = with_tokens(df, text_col)
+    exploded = toks.select(F.col(id_col), F.explode("tokens").alias("tok"))
+    vocab = exploded.select("tok").distinct()
+    vocab_bpe = vocab.select(
+        "tok", bpe_count_col(F.col("tok"), merges).alias("n_bpe"))
+    per_doc = (
+        exploded.join(vocab_bpe, "tok")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("_alnum"),
+             F.sum("n_bpe").alias("_bpe"))
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("_alnum"), F.lit(0)).cast("long")
+            .alias("alnum_tokens"),
+            F.coalesce(F.col("_bpe"), F.lit(0)).cast("long")
+            .alias("bpe_tokens"),
+        )
+    )
+
+
 def quality_repetition(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text") -> DataFrame:
     """Gopher-style repetition filters (Rae et al. 2021 §A1.1 — the
