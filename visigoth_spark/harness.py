@@ -1165,6 +1165,9 @@ def get_oracles() -> dict[str, str]:
     d["vg_bm25_object_store"] = sql_bm25_stemmed()
     # batched search_many: per-query stemmed oracles unioned with qid
     d["vg_bm25_batched"] = sql_bm25_batched()
+    # trained-IVF oracle: centroid literals from the pure-Python k-means
+    # replica over the compare corpus (bit-identical to the Spark training)
+    d["ann_ivf_topk"] = sql_ann_ivf_trained()
     return d
 
 
@@ -1719,22 +1722,35 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed ANN (the scale path for brute-force cosine): assign
-    vectors to deterministic centroids, probe the query's nearest quarter of
-    the cells, exact-score within. Oracle SQL reproduces the identical
-    centroids as literals (pipeline.ivf_centroids is md5-derived and
-    dimension-only), so results match exactly — including the recall loss."""
+    """IVF-bucketed ANN with DATA-TRAINED centroids (round-4 verdict task
+    7): seeded Lloyd k-means over the corpus embeddings
+    (pipeline.kmeans_centroids — exactly-reproducible integer-quantized
+    arithmetic), then assign / probe-nearest-quarter / exact-score within.
+    The oracle SQL embeds centroids derived by the independent pure-Python
+    replica over the same parquet; the two are bit-identical (pinned in
+    tests/test_kmeans_ivf.py), so results match exactly — including the
+    recall loss vs brute force."""
+    emb = _emb(spark, sf_dir)
+    cents = P.kmeans_centroids(emb, n_cells=16, iters=4)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return P.ivf_topk(emb, list(qvec), k=10, centroids=cents)
+
+
+def q_ann_ivf_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with the fixed md5-derived centroids (the data-independent
+    variant — useful when the corpus changes faster than retraining)."""
     emb = _emb(spark, sf_dir)
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
     return P.ivf_topk(emb, list(qvec), k=10)
 
 
-def _sql_ann_ivf(n_cells: int = 16, dims: int = 64) -> str:
-    import numpy as np
-
+def _sql_ann_ivf(n_cells: int = 16, dims: int = 64,
+                 centroids: list[list[float]] | None = None) -> str:
     from visigoth_spark.pipeline import ivf_centroids
 
-    cents = ivf_centroids(n_cells, dims)
+    cents = centroids if centroids is not None \
+        else ivf_centroids(n_cells, dims)
+    n_cells = len(cents)
     # the probe set depends on the query vector (vec_id=0), which the SQL
     # can compute itself: rank cells by cosine(query, centroid), keep the
     # nearest quarter — same rule as pipeline.ivf_topk
@@ -1780,7 +1796,20 @@ ORDER BY sim DESC, vec_id ASC LIMIT 10
 """
 
 
-SQL_ANN_IVF = _sql_ann_ivf()
+SQL_ANN_IVF_SYNTH = _sql_ann_ivf()
+
+# The driver's oracle compare runs at sf=0.01 (spec + verify_driver_contract):
+# the trained-IVF oracle embeds centroid literals the pure-Python replica
+# derives from THAT corpus. Built lazily in get_oracles() (reads parquet).
+ORACLE_SF_DIR = "/root/testdata/sf0.01"
+
+
+def sql_ann_ivf_trained(sf_dir: str = ORACLE_SF_DIR) -> str:
+    from visigoth_spark.pipeline import kmeans_centroids_replica
+
+    cents = kmeans_centroids_replica(
+        f"{sf_dir}/embeddings.parquet", n_cells=16, iters=4)
+    return _sql_ann_ivf(centroids=cents)
 
 
 SQL_ANN_COSINE = """
@@ -1931,6 +1960,7 @@ QUERIES = {
     "doc_winnow": q_doc_winnow,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_ivf_synth": q_ann_ivf_synth,
     "events_windowed": q_events_windowed,
     "events_sessionize": q_events_sessionize,
     "multimodal_image_meta": q_multimodal_image_meta,
@@ -1975,7 +2005,8 @@ ORACLES = {
     "doc_fingerprint": SQL_FINGERPRINT,
     "doc_winnow": SQL_WINNOW,
     "ann_cosine_topk": SQL_ANN_COSINE,
-    "ann_ivf_topk": SQL_ANN_IVF,
+    # ann_ivf_topk (trained centroids) is added lazily by get_oracles()
+    "ann_ivf_synth": SQL_ANN_IVF_SYNTH,
     "events_windowed": SQL_EVENTS_WINDOWED,
     "events_sessionize": SQL_SESSIONIZE,
     "multimodal_image_meta": SQL_MULTIMODAL_META,

@@ -366,12 +366,123 @@ def ivf_centroids(n_cells: int, dims: int) -> list[list[float]]:
     ]
 
 
+KMEANS_QUANT = 65536  # 2^16 fixed-point scale for order-independent sums
+
+
+def kmeans_centroids(emb: DataFrame, n_cells: int = 16, iters: int = 4,
+                     id_col: str = "vec_id", vec_col: str = "embedding"
+                     ) -> list[list[float]]:
+    """Data-trained IVF centroids: seeded Lloyd k-means with EXACTLY
+    reproducible arithmetic, so an independent pure-Python replica
+    (``kmeans_centroids_replica``, used by the DuckDB-oracle builder and
+    pinned bit-identical in tests) derives the same centroids from the
+    same parquet — no float-summation-order nondeterminism anywhere:
+
+    - init: the ``n_cells`` rows with the smallest ``md5(str(id))``
+      (deterministic, data-dependent, engine-portable);
+    - assign: cosine argmax against centroid literals via ``cosine_sim``'s
+      left-to-right float64 fold (bitwise-reproducible sequential IEEE
+      ops), first-max tiebreak;
+    - update: per (cell, dim) SUM of ``floor(x * 2^16)`` int64 values —
+      integer addition is associative/commutative, so the Spark shuffle
+      order cannot change the total; the final ``sum / (count * 2^16)``
+      is one float64 division on the driver. Empty cells keep their
+      previous centroid.
+
+    Scale: each iteration is one narrow shuffle of (cell, dim, partial
+    sum) with map-side partials — k*dims rows reach the driver. The 2^16
+    quantization bounds ``rows_per_cell * 2^16 * max|x|`` under int64 up
+    to ~10^13 rows/cell at |x|<8; beyond that, raise to a two-level
+    (partition-partial, then global) integer agg. Quantization error
+    2^-16 per value only nudges centroids, never breaks reproducibility
+    (both sides quantize identically)."""
+    vec_d = F.col(vec_col).cast("array<double>")
+    seed_rows = (
+        emb.select(F.md5(F.col(id_col).cast("string")).alias("_h"),
+                   F.col(id_col).alias("_id"), vec_d.alias("_v"))
+        .orderBy("_h", "_id")
+        .limit(n_cells)
+        .collect()
+    )
+    cents = [list(r._v) for r in seed_rows]
+    for _ in range(iters):
+        assigned = ivf_assign(emb, vec_col=vec_col, centroids=cents)
+        q = F.floor(F.col("_x") * F.lit(float(KMEANS_QUANT))).cast("long")
+        agg = (
+            assigned.select(
+                F.col("cell"), F.posexplode(vec_d).alias("_d", "_x"))
+            .select("cell", "_d", q.alias("_q"))
+            .groupBy("cell", "_d")
+            .agg(F.sum("_q").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new = [list(c) for c in cents]
+        for r in agg:
+            new[r.cell][r._d] = r.s / (r.n * KMEANS_QUANT)
+        cents = new
+    return cents
+
+
+def kmeans_centroids_replica(parquet_path: str, n_cells: int = 16,
+                             iters: int = 4, id_col: str = "vec_id",
+                             vec_col: str = "embedding"
+                             ) -> list[list[float]]:
+    """Pure-Python replica of ``kmeans_centroids`` over the same parquet —
+    builds the oracle-SQL centroid literals without a SparkSession. Every
+    step mirrors the Spark plan's arithmetic exactly: float64 casts, the
+    sequential cosine fold, floor-quantized int64 sums, one division."""
+    import hashlib
+    import math
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(parquet_path, columns=[id_col, vec_col])
+    ids = tbl.column(id_col).to_pylist()
+    vecs = [[float(x) for x in v] for v in tbl.column(vec_col).to_pylist()]
+
+    def seq_cosine(a: list[float], b: list[float]) -> float:
+        dot = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+        na = 0.0
+        for x in a:
+            na += x * x
+        nb = 0.0
+        for y in b:
+            nb += y * y
+        return dot / (math.sqrt(na) * math.sqrt(nb))
+
+    order = sorted(range(len(ids)),
+                   key=lambda i: (hashlib.md5(str(ids[i]).encode())
+                                  .hexdigest(), ids[i]))
+    cents = [list(vecs[i]) for i in order[:n_cells]]
+    for _ in range(iters):
+        sums = [[0] * len(c) for c in cents]
+        counts = [0] * n_cells
+        for v in vecs:
+            sims = [seq_cosine(v, c) for c in cents]
+            cell = sims.index(max(sims))
+            counts[cell] += 1
+            for d, x in enumerate(v):
+                sums[cell][d] += math.floor(x * KMEANS_QUANT)
+        cents = [
+            ([s / (counts[c] * KMEANS_QUANT) for s in sums[c]]
+             if counts[c] else list(cents[c]))
+            for c in range(n_cells)
+        ]
+    return cents
+
+
 def ivf_assign(emb: DataFrame, n_cells: int = 16, dims: int = 64,
-               vec_col: str = "embedding") -> DataFrame:
-    """Add a ``cell`` column: index of the nearest of ``n_cells`` fixed
-    md5-derived centroids (cosine argmax, first-max tiebreak). Pure
-    Catalyst — one pass, no shuffle."""
-    cents = ivf_centroids(n_cells, dims)
+               vec_col: str = "embedding",
+               centroids: list[list[float]] | None = None) -> DataFrame:
+    """Add a ``cell`` column: index of the nearest centroid (cosine
+    argmax, first-max tiebreak) — ``centroids`` if given (e.g. k-means
+    trained), else the ``n_cells`` fixed md5-derived ones. Pure Catalyst —
+    one pass, no shuffle."""
+    cents = centroids if centroids is not None \
+        else ivf_centroids(n_cells, dims)
+    n_cells = len(cents)
     vec_d = F.col(vec_col).cast("array<double>")
     sims = F.array(
         *[
@@ -391,13 +502,16 @@ def ivf_assign(emb: DataFrame, n_cells: int = 16, dims: int = 64,
 
 
 def probe_cells(query_vec: list[float], n_cells: int = 16,
-                n_probe: int | None = None) -> list[int]:
+                n_probe: int | None = None,
+                centroids: list[list[float]] | None = None) -> list[int]:
     """The cells an IVF query probes: the ``n_probe`` (default n_cells/4)
     centroids nearest to the query by cosine. Driver-side math over
     n_cells x dims floats."""
     import numpy as np
 
-    cents = ivf_centroids(n_cells, len(query_vec))
+    cents = centroids if centroids is not None \
+        else ivf_centroids(n_cells, len(query_vec))
+    n_cells = len(cents)
     qv = np.array(query_vec, dtype=np.float64)
     qn = qv / (np.linalg.norm(qv) or 1.0)
     cell_sims = [
@@ -410,8 +524,8 @@ def probe_cells(query_vec: list[float], n_cells: int = 16,
 
 def ivf_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
              n_probe_ids: int | None = None, n_cells: int = 16,
-             id_col: str = "vec_id", vec_col: str = "embedding"
-             ) -> DataFrame:
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             centroids: list[list[float]] | None = None) -> DataFrame:
     """IVF-style ANN over an UNMATERIALIZED table: assign cells on the fly,
     probe the query's neighborhood, exact-score within. This is the
     SQL-oracle-checkable form (one plan, no side files); it scans the whole
@@ -422,8 +536,9 @@ def ivf_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
     data). Recall < 1 by construction; validated against cosine_topk in
     tests (recall@10 threshold)."""
     dims = len(query_vec)
-    assigned = ivf_assign(emb, n_cells, dims, vec_col)
-    probe = probe_cells(query_vec, n_cells, n_probe_ids)
+    assigned = ivf_assign(emb, n_cells, dims, vec_col, centroids=centroids)
+    probe = probe_cells(query_vec, n_cells, n_probe_ids,
+                        centroids=centroids)
     pruned = assigned.filter(F.col("cell").isin(probe))
     return cosine_topk(pruned, query_vec, k, id_col, vec_col)
 
