@@ -920,3 +920,35 @@ class TestFuzzydictD2:
         got = idx.suggest("datxy", max_edits=2)
         terms = [t for t, _ in got]
         assert "datum" in terms and "data" in terms
+
+
+class TestSuggestQuery:
+    """Query-level did-you-mean (round-4 verdict task 9): per-token
+    correction re-ranked by the AND-upper-bound estimated result df."""
+
+    def test_corrects_both_tokens(self, pos_idx):
+        out = pos_idx.suggest_query("datun alpa")
+        assert out[0] == ("datum alpha", 2)
+        assert ("datun alpha", 1) in out
+
+    def test_original_query_never_suggests_itself(self, pos_idx):
+        out = pos_idx.suggest_query("alpha beta")
+        qs = [q for q, _ in out]
+        assert "alpha beta" not in qs
+        # beta's d=1 vocabulary neighbors (eta, zeta) tie on min-df and
+        # sum-df; lexicographic tiebreak orders them
+        assert qs[:2] == ["alpha eta", "alpha zeta"]
+
+    def test_unknown_token_stays_verbatim(self, pos_idx):
+        out = pos_idx.suggest_query("qqqq beta")
+        assert out[0][0] == "qqqq eta"
+        assert out[0][1] == 0  # AND-bound df: the unknown term zeroes it
+
+    def test_single_token_query_matches_suggest(self, pos_idx):
+        got = pos_idx.suggest_query("datun")
+        want = [(t, d) for t, d in pos_idx.suggest("datun") if t != "datun"]
+        assert got == want
+
+    def test_empty_and_stopword_only(self, pos_idx):
+        assert pos_idx.suggest_query("") == []
+        assert pos_idx.suggest_query("...") == []

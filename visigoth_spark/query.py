@@ -827,6 +827,43 @@ class SearchIndex:
                         key=lambda t: (-dfs[t], t))
         return [(t, dfs[t]) for t in ranked[:k]]
 
+    def suggest_query(self, query: str, max_edits: int = 1, k: int = 5,
+                      per_term: int = 3, max_candidates: int = 200
+                      ) -> list[tuple[str, int]]:
+        """Query-level did-you-mean (round-4 verdict task 9): correct each
+        analyzed token independently via ``suggest`` (so a token's own
+        vocabulary form competes with its neighbors at distance 0), then
+        re-rank the candidate queries by ESTIMATED RESULT DF — the AND
+        upper bound min(term df), ties broken by sum of dfs DESC then
+        query ASC. The original analyzed query never suggests itself; a
+        token with no live candidates at all stays verbatim (df 0) so the
+        rest of the query can still be corrected. Driver-side math over
+        at most ``per_term``^n_tokens (capped at ``max_candidates``)
+        combinations of already-computed (term, df) pairs — no extra
+        Spark jobs beyond the per-token ``suggest`` calls.
+
+        Returns [(suggested_query, estimated_df), ...], best first."""
+        import itertools
+
+        toks = analyze_text(query, self.analyzer)
+        if not toks:
+            return []
+        per: list[list[tuple[str, int]]] = []
+        for t in toks:
+            opts = self.suggest(t, max_edits=max_edits, k=per_term)
+            per.append(opts or [(t, 0)])
+        orig = " ".join(toks)
+        scored = []
+        for combo in itertools.islice(itertools.product(*per),
+                                      max_candidates):
+            q = " ".join(c[0] for c in combo)
+            if q == orig:
+                continue
+            dfs = [c[1] for c in combo]
+            scored.append((q, min(dfs), sum(dfs)))
+        scored.sort(key=lambda x: (-x[1], -x[2], x[0]))
+        return [(q, est) for q, est, _ in scored[:k]]
+
     def _fuzzy_sidecar_candidates(self, term: str, max_edits: int = 1
                                   ) -> list[str] | None:
         """Distance-``max_edits`` candidates via the SymSpell deletion-
