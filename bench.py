@@ -798,6 +798,12 @@ pairs in the JSON. Details + host-noise evidence: BASELINE.md.
 Per-query latencies (sec): {json.dumps(r['queries'], indent=0)}
 
 Positional suite (sec): {json.dumps(r.get('positional', {}).get('queries', {}), indent=0)}
+
+Round-5 evidence (not regenerated by this file): the same-window A/B of
+round-3 vs round-4 code with finalize_segments on/off (tools/ab_bench.py,
+ab_bench_out.json) and the sf1 6M-doc scale run (tools/sf1_bench.py,
+sf1_bench_out.json) are reported in BASELINE.md under "Round-5 A/B window"
+and "Round-5 sf1 scale run".
 """
     with open(os.path.join(_REPO, "BENCH.md"), "w") as f:
         f.write(md)

@@ -301,3 +301,21 @@ def test_update_docs_tombstone_cap_raises_loudly(spark, didx):
     assert load_tombstones(didx) == []
     idx = SearchIndex(spark, didx, analyzer=AN)
     assert _got(idx.search("alpha beta", k=10)) == before
+
+
+def test_indexed_df_matches_indexed(spark, didx):
+    """indexed_df: the distributed (never-on-the-driver) posting-list
+    variant must return exactly indexed()'s docids — including the
+    tombstone mask — just unordered."""
+    from visigoth_spark.build import delete_docs
+
+    idx = SearchIndex(spark, didx, analyzer=AN)
+    for term in ("alpha", "echo", "nosuchterm"):
+        want = sorted(idx.indexed(term).tolist())
+        got = sorted(r.docid for r in idx.indexed_df(term).collect())
+        assert got == want, term
+    delete_docs(spark, didx, docids=[0, 2])
+    idx2 = SearchIndex(spark, didx, analyzer=AN)
+    want = sorted(idx2.indexed("alpha").tolist())
+    got = sorted(r.docid for r in idx2.indexed_df("alpha").collect())
+    assert got == want and 0 not in got and 2 not in got
