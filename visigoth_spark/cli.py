@@ -184,6 +184,35 @@ def cmd_query(argv: list[str]) -> int:
     return 0
 
 
+def cmd_suggest(argv: list[str]) -> int:
+    """Did-you-mean: single term (df-ranked neighbors) or whole query
+    (per-token corrections re-ranked by AND-bound estimated result df)."""
+    p = argparse.ArgumentParser(prog="cli suggest")
+    p.add_argument("--index", required=True)
+    p.add_argument("--max-edits", type=int, default=1, choices=[1, 2])
+    p.add_argument("-k", type=int, default=5)
+    p.add_argument("--no-stem", action="store_true")
+    p.add_argument("query", nargs="+")
+    a = p.parse_args(argv)
+
+    from visigoth_spark.analysis import AnalyzerConfig, DEFAULT_ANALYZER
+    from visigoth_spark.query import SearchIndex
+
+    spark = _session("visigoth-suggest")
+    analyzer = (AnalyzerConfig(stem=False) if a.no_stem else DEFAULT_ANALYZER)
+    idx = SearchIndex(spark, a.index, analyzer=analyzer)
+    q = " ".join(a.query)
+    if len(a.query) == 1:
+        out = idx.suggest(q, max_edits=a.max_edits, k=a.k)
+        for term, df in out:
+            print(json.dumps({"term": term, "df": df}))
+    else:
+        out = idx.suggest_query(q, max_edits=a.max_edits, k=a.k)
+        for qq, est in out:
+            print(json.dumps({"query": qq, "estimated_df": est}))
+    return 0
+
+
 def cmd_compact(argv: list[str]) -> int:
     """Merge appended batches into the canonical single-batch layout
     (build.compact_index): url-ordered dense docids, P range buckets,
@@ -323,7 +352,7 @@ def main() -> int:
             "compact": cmd_compact, "merge": cmd_merge,
             "gc": cmd_gc, "inspect": cmd_inspect,
             "explain": cmd_explain, "delete": cmd_delete,
-            "fuzzydict": cmd_fuzzydict}
+            "fuzzydict": cmd_fuzzydict, "suggest": cmd_suggest}
     if len(sys.argv) < 2 or sys.argv[1] not in cmds:
         print(f"usage: cli.py {{{'|'.join(cmds)}}} ...", file=sys.stderr)
         return 2
